@@ -1,0 +1,106 @@
+package graft.score
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Ids
+
+/**
+ * Salience scoring (SURVEY.md §3.2: A2 + P4 + J1 + F1/F2/F3 + P5 + O2 + O3) —
+ * Spark re-expression of ext/phrasekit/src/bin/phrasekit_score.rs:166-298.
+ *
+ * Shape: totals (scalar agg) → min_domain_count pre-filter (pushed before the
+ * join by Catalyst anyway) → LEFT OUTER equi-join domain⟕background on the
+ * n-gram key with missing background = 0 → per-method salience projection →
+ * min_salience post-filter → salience-desc sort → sequential phrase-id
+ * assignment. The join is the only real shuffle; AQE handles skew/coalescing,
+ * and Spark auto-broadcasts a small background side.
+ *
+ * Float semantics: the reference computes ratio/tfidf in f32 and PMI in f64 cast
+ * to f32 (phrasekit_score.rs:227-252); we compute in double and cast to float at
+ * the salience column, and apply the min_salience threshold in float domain like
+ * the reference (`salience < config.min_salience` on f32, :207).
+ *
+ * Tie-break: the reference's salience-desc sort inherits HashMap iteration order
+ * on ties → nondeterministic ids across runs (SURVEY.md §7.6). We add an
+ * `ngram` ascending tie-break for a total, reproducible order.
+ */
+object Scorer {
+
+  final case class ScoreConfig(
+      method: String = "ratio",
+      minSalience: Float = 2.0f,
+      minDomainCount: Long = 10,
+      assignPhraseIds: Boolean = true,
+      startingPhraseId: Long = 1000) {
+    require(Set("ratio", "pmi", "tfidf")(method), s"Invalid method: $method")
+  }
+
+  /**
+   * @param domain     DataFrame(ngram STRING, count BIGINT) — mined domain n-grams
+   * @param background DataFrame(ngram STRING, count BIGINT)
+   * @return DataFrame(ngram, tokens, salience FLOAT, phrase_id BIGINT?,
+   *         domain_count, background_count) sorted by (salience desc, ngram asc)
+   */
+  def score(domain: DataFrame, background: DataFrame,
+      cfg: ScoreConfig = ScoreConfig()): DataFrame = {
+    // lowercase-normalize keys like load_phrases (phrasekit_score.rs:159); inputs
+    // from our Miner are already lowercase, but external JSONL inputs may not be.
+    // Duplicate keys collapse via max(count) (the reference's HashMap semantics are
+    // "last line wins" — order-dependent and unexercised by any fixture; we pick a
+    // deterministic merge instead, documented divergence SURVEY.md S2).
+    def norm(df: DataFrame): DataFrame = df
+      .select(lower(col("ngram")).as("ngram"), col("count").cast("long").as("count"))
+      .groupBy("ngram").agg(max("count").as("count"))
+
+    val dom = norm(domain)
+    val bg = norm(background)
+
+    // A2: corpus totals over ALL loaded phrases (before any filter),
+    // phrasekit_score.rs:180-181. Tiny scalar aggregates → driver.
+    val totalDomain = dom.agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    val totalBackground = bg.agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+
+    val joined = dom
+      .filter(col("count") >= cfg.minDomainCount) // P4, before the join
+      .join(bg.withColumnRenamed("count", "background_count"), Seq("ngram"), "left_outer")
+      .na.fill(0L, Seq("background_count"))
+      .withColumnRenamed("count", "domain_count")
+
+    val salience = cfg.method match {
+      case "ratio" =>
+        // F1: domain / (background + 1) in f32 (phrasekit_score.rs:227-229)
+        (col("domain_count").cast("double") / (col("background_count") + 1).cast("double"))
+          .cast("float")
+      case "pmi" =>
+        // F2: clamp 10.0 when bg==0; else log2((d/D)/(b/B)) in f64 → f32
+        // (phrasekit_score.rs:231-246)
+        when(col("background_count") === 0, lit(10.0f))
+          .otherwise(
+            log2((col("domain_count").cast("double") / lit(totalDomain.toDouble)) /
+              (col("background_count").cast("double") / lit(totalBackground.toDouble)))
+              .cast("float"))
+      case "tfidf" =>
+        // F3: tf = d/D, idf = ln((D+1)/(b+1)) — D is total n-gram OCCURRENCES, not
+        // total docs; we reproduce the code, not the doc (phrasekit_score.rs:248-252)
+        ((col("domain_count").cast("double") / lit(totalDomain.toDouble)) *
+          log((lit(totalDomain.toDouble) + 1.0) / (col("background_count").cast("double") + 1.0)))
+          .cast("float")
+    }
+
+    val scored = joined
+      .withColumn("salience", salience)
+      .filter(col("salience") >= lit(cfg.minSalience)) // P5, float domain
+      .withColumn("tokens", split(col("ngram"), " "))
+      .select("ngram", "tokens", "salience", "domain_count", "background_count")
+
+    if (cfg.assignPhraseIds) {
+      Ids.assignSequential(scored,
+          Seq(col("salience").desc, col("ngram").asc),
+          cfg.startingPhraseId, "phrase_id")
+        .select("ngram", "tokens", "salience", "phrase_id", "domain_count", "background_count")
+        .orderBy(col("salience").desc, col("ngram").asc)
+    } else {
+      scored.orderBy(col("salience").desc, col("ngram").asc)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.tag
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.artifact.TagModel
+import graft.matching.{Policies, Policy}
+import graft.model.{Doc, RawMatch, Span, TaggedDoc}
+
+/**
+ * Corpus auto-labeling (SURVEY.md §3.3, the flagship) — Spark re-expression of
+ * ext/phrasekit/src/bin/phrasekit_tag.rs:86-271.
+ *
+ * Shape (north-rule mandated): the driver-built TagModel (vocab + trie + payloads)
+ * is broadcast once; documents flow through a typed `mapPartitions` that encodes
+ * tokens (broadcast vocab lookup — the reference's J2 "join" collapsed into the
+ * same closure, exactly like its artifact bundle), scans with Aho-Corasick (J3),
+ * resolves overlaps per policy (W1-W4), truncates to max_spans (W5), and emits
+ * TaggedDoc. ZERO shuffles: the only cross-node movement is the broadcast itself,
+ * so the stage scales linearly with executors — the property the scaling-
+ * efficiency criterion measures.
+ */
+object Tagger {
+
+  final case class TagConfig(
+      policy: String = "leftmost_longest", // tag-CLI default (phrasekit_tag.rs:27-29)
+      maxSpans: Int = 100,
+      label: String = "PHRASE")
+
+  /** Pure per-doc tagging: the reference's per-line body (phrasekit_tag.rs:146-211). */
+  def tagDoc(model: TagModel, policy: Policy, maxSpans: Int, label: String)(
+      doc: Doc): TaggedDoc = {
+    val ids = model.vocab.encodeAll(doc.tokens)
+    val raw = model.trie.findOverlapping(ids)
+    val resolved = Policies.truncate(
+      Policies.resolve(raw.toIndexedSeq, policy, model.payloads), maxSpans)
+    TaggedDoc(doc.docId, doc.tokens,
+      resolved.map(m => Span(m.start, m.end, model.payloads(m.patternId).phraseId, label)))
+  }
+
+  /** Tag a corpus. Strict schema (doc_id required), matching the tag CLI's
+   * fail-fast parse (phrasekit_tag.rs:146). */
+  def tag(spark: SparkSession, docs: Dataset[Doc], model: Broadcast[TagModel],
+      cfg: TagConfig = TagConfig()): Dataset[TaggedDoc] = {
+    import spark.implicits._
+    val policy = Policy.fromStringTag(cfg.policy)
+    val maxSpans = cfg.maxSpans
+    val label = cfg.label
+    docs.mapPartitions { it =>
+      val m = model.value
+      it.map(tagDoc(m, policy, maxSpans, label))
+    }
+  }
+
+  /** Tagging stats (SURVEY.md A5) over a tagged corpus, one aggregate pass. */
+  def stats(tagged: DataFrame): TaggingStats = {
+    import org.apache.spark.sql.functions._
+    val r = tagged.agg(
+      count(lit(1)),
+      coalesce(sum(size(col("spans"))), lit(0L)),
+      coalesce(sum(when(size(col("spans")) > 0, 1L).otherwise(0L)), lit(0L))).head()
+    TaggingStats(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  final case class TaggingStats(documents: Long, totalSpans: Long, docsWithSpans: Long) {
+    def avgSpansPerDoc: Double = if (documents > 0) totalSpans.toDouble / documents else 0.0
+  }
+}
+
+/**
+ * The online matcher path (SURVEY.md §3.4) — plain Scala API mirroring
+ * `PhraseKit.match_tokens` (lib/phrasekit.rb:38-41, matcher.rs:67-105) so tests
+ * and services can call it without a cluster. Immutability replaces the
+ * reference's RwLock; hot reload = swapping the TagModel reference (or
+ * re-broadcasting between jobs).
+ */
+object Matcher {
+
+  final case class MatchResult(start: Int, end: Int, phraseId: Int,
+      salience: Float, count: Int, n: Byte)
+
+  /** Strict policy parse (unknown → error, like policy.rs:10-19). Default max=32
+   * mirrors lib/phrasekit.rb:38. */
+  def matchTokens(model: TagModel, tokenIds: Array[Int],
+      policy: String = "leftmost_longest", max: Int = 32): IndexedSeq[MatchResult] = {
+    if (tokenIds.isEmpty) return Vector.empty
+    val p = Policy.fromString(policy)
+    val raw = model.trie.findOverlapping(tokenIds)
+    Policies.truncate(Policies.resolve(raw.toIndexedSeq, p, model.payloads), max)
+      .map { m: RawMatch =>
+        val pl = model.payloads(m.patternId)
+        MatchResult(m.start, m.end, pl.phraseId, pl.salience, pl.count, pl.n)
+      }
+  }
+
+  /** Surface-token convenience (PhraseKit.match_text_tokens). */
+  def matchTextTokens(model: TagModel, tokens: Seq[String],
+      policy: String = "leftmost_longest", max: Int = 32): IndexedSeq[MatchResult] =
+    matchTokens(model, model.vocab.encodeAll(tokens), policy, max)
+}
