@@ -1,0 +1,100 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.artifact.Builder
+import graft.corpus.Extract
+import graft.mine.Miner
+import graft.model.{Doc, WebPage}
+import graft.score.Scorer
+import graft.tag.Tagger
+
+/**
+ * The end-to-end KG construction pipeline (SURVEY.md §0, north rule): web pages
+ * → extract+tokenize → mine candidate phrases → score salience vs background →
+ * build broadcast matcher → auto-label mentions → MinHash-LSH blocking +
+ * connected components canonicalization → (subj, pred, obj) triples.
+ *
+ * One Catalyst-planned dataflow per stage; the tag stage (the per-doc hot path)
+ * is shuffle-free, so end-to-end cost at scale is dominated by the mine
+ * aggregation and the triple materialization shuffles — both keyed on
+ * high-cardinality values with map-side partial aggregation.
+ */
+object KgPipeline {
+
+  final case class KgConfig(
+      lang: String = "en",
+      mine: Miner.MineConfig = Miner.MineConfig(2, 4, minCount = 5),
+      score: Scorer.ScoreConfig = Scorer.ScoreConfig("ratio", 2.0f, 5),
+      link: Linker.LinkConfig = Linker.LinkConfig(),
+      triple: Triples.TripleConfig = Triples.TripleConfig(),
+      tag: Tagger.TagConfig = Tagger.TagConfig())
+
+  final case class KgResult(
+      docs: Long,
+      phrases: DataFrame,
+      mentions: DataFrame,
+      entities: DataFrame,
+      triples: DataFrame,
+      numPhrases: Long,
+      numMentions: Long,
+      numEntities: Long,
+      numTriples: Long)
+
+  /**
+   * @param pages      the input corpus (url, warc_ts, html, text, lang)
+   * @param background optional background n-gram table (ngram, count); when
+   *                   absent, derived from the corpus' non-`lang` pages —
+   *                   deterministic and self-contained.
+   */
+  def run(spark: SparkSession, pages: Dataset[WebPage],
+      background: Option[DataFrame] = None,
+      cfg: KgConfig = KgConfig()): KgResult = {
+    import spark.implicits._
+
+    // extract from html (per-row byte-identity invariant vs `text` is asserted
+    // in tests over the full synthetic corpus), tokenize, filter language
+    val inLang = pages.toDF().filter(col("lang") === cfg.lang)
+    val docs = inLang.select(
+      col("url").as("docId"),
+      col("warc_ts"),
+      Extract.tokenize(Extract.extractText(col("html"))).as("tokens"))
+
+    val mined = Miner.mine(docs, "tokens", cfg.mine.copy(ordered = false))
+    val bg = background.getOrElse {
+      val other = pages.toDF().filter(col("lang") =!= cfg.lang)
+        .select(Extract.tokenize(col("text")).as("tokens"))
+      Miner.mine(other, "tokens",
+        cfg.mine.copy(minCount = math.max(1, cfg.mine.minCount / 2), ordered = false))
+        .select("ngram", "count")
+    }
+
+    val scored = Scorer.score(mined.select("ngram", "count"), bg, cfg.score)
+    val (model, _) = Builder.build(scored.withColumnRenamed("domain_count", "count"))
+    val bc = spark.sparkContext.broadcast(model)
+
+    val docDs = docs.select(col("docId"), col("tokens")).as[Doc]
+    val tagged = Tagger.tag(spark, docDs, bc, cfg.tag).toDF()
+      .join(docs.select(col("docId"), col("warc_ts")), "docId")
+
+    val mentions = tagged
+      .select(col("docId").as("url"), col("warc_ts"), explode(col("spans")).as("s"))
+      .select(col("url"), col("warc_ts"),
+        col("s.start").as("start"), col("s.end").as("end"),
+        col("s.phraseId").as("phrase_id"), col("s.label").as("label"))
+
+    val rescored = scored // (ngram, tokens, salience, phrase_id, domain_count, background_count)
+    val edges = Linker.candidateEdges(rescored.select("phrase_id", "tokens"), cfg.link)
+    val comps = ConnectedComponents.run(edges)
+    val ents = Triples.entities(rescored, comps)
+    val entityMap = ents.select("phrase_id", "entity_id")
+    val triples = Triples.materialize(mentions, entityMap, cfg.triple)
+
+    KgResult(
+      docs = docs.count(),
+      phrases = rescored, mentions = mentions, entities = ents, triples = triples,
+      numPhrases = rescored.count(), numMentions = mentions.count(),
+      numEntities = ents.select("entity_id").distinct().count(),
+      numTriples = triples.count())
+  }
+}
