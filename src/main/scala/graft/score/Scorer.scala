@@ -31,7 +31,11 @@ object Scorer {
       minSalience: Float = 2.0f,
       minDomainCount: Long = 10,
       assignPhraseIds: Boolean = true,
-      startingPhraseId: Long = 1000) {
+      startingPhraseId: Long = 1000,
+      // true = reference f32 semantics (phrasekit_score.rs); false = full f64,
+      // used by the DuckDB-oracle queries where both engines must agree to
+      // round(…, 6) and f32 would lose digits past 7 significant figures.
+      floatSemantics: Boolean = true) {
     require(Set("ratio", "pmi", "tfidf")(method), s"Invalid method: $method")
   }
 
@@ -66,25 +70,26 @@ object Scorer {
       .na.fill(0L, Seq("background_count"))
       .withColumnRenamed("count", "domain_count")
 
+    val out = if (cfg.floatSemantics) "float" else "double"
     val salience = cfg.method match {
       case "ratio" =>
         // F1: domain / (background + 1) in f32 (phrasekit_score.rs:227-229)
         (col("domain_count").cast("double") / (col("background_count") + 1).cast("double"))
-          .cast("float")
+          .cast(out)
       case "pmi" =>
         // F2: clamp 10.0 when bg==0; else log2((d/D)/(b/B)) in f64 → f32
         // (phrasekit_score.rs:231-246)
-        when(col("background_count") === 0, lit(10.0f))
+        when(col("background_count") === 0, lit(10.0).cast(out))
           .otherwise(
             log2((col("domain_count").cast("double") / lit(totalDomain.toDouble)) /
               (col("background_count").cast("double") / lit(totalBackground.toDouble)))
-              .cast("float"))
+              .cast(out))
       case "tfidf" =>
         // F3: tf = d/D, idf = ln((D+1)/(b+1)) — D is total n-gram OCCURRENCES, not
         // total docs; we reproduce the code, not the doc (phrasekit_score.rs:248-252)
         ((col("domain_count").cast("double") / lit(totalDomain.toDouble)) *
           log((lit(totalDomain.toDouble) + 1.0) / (col("background_count").cast("double") + 1.0)))
-          .cast("float")
+          .cast(out)
     }
 
     val scored = joined
