@@ -4,10 +4,14 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.artifact.{Builder, TagModel}
 import graft.corpus.Extract
+import graft.kg.{ConnectedComponents, Linker, Triples}
 import graft.mine.Miner
+import graft.model.Doc
 import graft.score.Scorer
 import graft.ops.Ids
+import graft.tag.Tagger
 
 /**
  * Driver-contract queries (SURVEY.md §2 operator coverage) with DuckDB oracle
@@ -61,21 +65,57 @@ object Queries {
           startingPhraseId = 1000, floatSemantics = false))
     }
 
+  private val modelCache = TrieMap.empty[String, TagModel]
+
+  /** Broadcast tag model over the ratio-scored phrase set. */
+  def tagModel(s: SparkSession, dir: String): TagModel =
+    modelCache.getOrElseUpdate(dir, {
+      Builder.build(scored(s, dir, "ratio", 1.5f, assignIds = true)
+        .withColumnRenamed("domain_count", "count"))._1
+    })
+
+  /** Tagged mentions (doc_id, start, end, ngram) over english documents. */
+  def mentions(s: SparkSession, dir: String, policy: String): DataFrame = {
+    import s.implicits._
+    val model = tagModel(s, dir)
+    val bc = s.sparkContext.broadcast(model)
+    val ds = toks(s, dir, Some(true))
+      .select(col("doc_id").cast("string").as("docId"), col("t").as("tokens")).as[Doc]
+    val tagged = Tagger.tag(s, ds, bc, Tagger.TagConfig(policy, maxSpans = 1 << 30))
+    tagged.toDF()
+      .select(col("docId").cast("long").as("doc_id"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"), col("sp.start").cast("long").as("start"),
+        col("sp.end").cast("long").as("end"), col("sp.phraseId").as("phrase_id"))
+      .join(scored(s, dir, "ratio", 1.5f, assignIds = true)
+        .select(col("phrase_id").cast("int").as("phrase_id"), col("ngram")), Seq("phrase_id"))
+      .select("doc_id", "start", "end", "ngram")
+  }
+
+  /** DuckDB: matches CTE `mt` (doc_id, s 0-based, e) of every phrase occurrence. */
+  private def matchesSql =
+    s"""${scoredSql("ratio", "1.5")},
+${gramsSql("tg", "WHERE lang = 'en'", Seq(2, 3))},
+mt AS (SELECT g.doc_id, CAST(g.pos - 1 AS BIGINT) AS s, CAST(g.pos - 1 + g.n AS BIGINT) AS e, g.g AS ngram
+  FROM tg_grams g JOIN scored p ON g.g = p.ngram)"""
+
   // ---------- shared SQL fragments ----------
 
   /** CTEs: {p}_toks, {p}_pos, {p}_grams (doc_id, pos 1-based, n, g), {p}
    * (ngram, count). Positions via a bounded cross join (docs here are ≤4096
    * tokens) — DuckDB 1.0's LATERAL + VALUES-alias reference hits an internal
    * binder bug, so no lateral. */
-  private def minedSql(p: String, where: String, ns: Seq[Int], minCount: Int): String = {
+  private def gramsSql(p: String, where: String, ns: Seq[Int]): String = {
     val vals = ns.map(n => s"($n)").mkString(",")
     s"""${p}_toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t FROM documents $where),
 ${p}_pos AS (SELECT unnest(range(1, 4096)) AS i),
 ${p}_grams AS (SELECT doc_id, i AS pos, ns.n AS n, array_to_string(t[i:i+ns.n-1], ' ') AS g
   FROM ${p}_toks, (VALUES $vals) ns(n), ${p}_pos
-  WHERE i + ns.n - 1 <= len(t)),
-$p AS (SELECT g AS ngram, CAST(count(*) AS BIGINT) AS count FROM ${p}_grams GROUP BY g HAVING count(*) >= $minCount)"""
+  WHERE i + ns.n - 1 <= len(t))"""
   }
+
+  private def minedSql(p: String, where: String, ns: Seq[Int], minCount: Int): String =
+    s"""${gramsSql(p, where, ns)},
+$p AS (SELECT g AS ngram, CAST(count(*) AS BIGINT) AS count FROM ${p}_grams GROUP BY g HAVING count(*) >= $minCount)"""
 
   private val domainSql = minedSql("dom", "WHERE lang = 'en'", Seq(2, 3), 5)
   private val bgSql = minedSql("bg", "WHERE lang <> 'en'", Seq(2, 3), 2)
@@ -318,8 +358,298 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
           .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
           .limit(20),
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
-FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"""))
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""")),
+
+    // W4 + J3: every overlapping phrase occurrence (policy "all") — the
+    // broadcast-trie mapPartitions result is SQL-checkable as a positions join
+    ("w4_tag_all",
+      (s: SparkSession, dir: String) =>
+        mentions(s, dir, "all").orderBy("doc_id", "start", "end"),
+      Some(s"""WITH $matchesSql
+SELECT doc_id, s AS start, e AS "end", ngram FROM mt ORDER BY doc_id, s, e""")),
+
+    // W1: leftmost_longest overlap resolution — greedy state machine oracled by
+    // a recursive CTE (per-doc head pick, then LATERAL next-fit)
+    ("w1_tag_leftmost_longest",
+      (s: SparkSession, dir: String) =>
+        mentions(s, dir, "leftmost_longest")
+          .select("doc_id", "start", "end").orderBy("doc_id", "start"),
+      Some(s"""WITH RECURSIVE $matchesSql,
+sel(doc_id, s, e) AS (
+  SELECT doc_id, s, e FROM (
+    SELECT doc_id, s, e, row_number() OVER (PARTITION BY doc_id ORDER BY s ASC, e DESC) AS rn FROM mt
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT nxt.doc_id, nxt.s, nxt.e FROM sel, LATERAL (
+    SELECT doc_id, s, e FROM mt WHERE mt.doc_id = sel.doc_id AND mt.s >= sel.e
+    ORDER BY s ASC, e DESC LIMIT 1
+  ) nxt
+)
+SELECT doc_id, s AS start, e AS "end" FROM sel ORDER BY doc_id, s""")),
+
+    // A5: corpus-level tagging stats over the all-policy matches
+    ("a5_tag_stats",
+      (s: SparkSession, dir: String) => {
+        val m = mentions(s, dir, "all")
+        val nDocs = toks(s, dir, Some(true)).count()
+        m.agg(lit(nDocs).as("documents"),
+          count(lit(1)).as("total_matches"),
+          countDistinct(col("doc_id")).as("docs_with_matches"),
+          round(count(lit(1)).cast("double") / lit(nDocs.toDouble), 6).as("avg_per_doc"))
+      },
+      Some(s"""WITH $matchesSql,
+nd AS (SELECT CAST(count(*) AS BIGINT) AS documents FROM tg_toks)
+SELECT nd.documents,
+  CAST(count(*) AS BIGINT) AS total_matches,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_matches,
+  round(CAST(count(*) AS DOUBLE) / nd.documents, 6) AS avg_per_doc
+FROM mt, nd GROUP BY nd.documents""")),
+
+    // SimHash near-dup fingerprint: 16 bits from per-token md5 hex digits
+    ("dd_simhash",
+      (s: SparkSession, dir: String) => {
+        val tok = toks(s, dir).select(col("doc_id"), explode(col("t")).as("tok"))
+        val bits = tok
+          .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"),
+            expr("position(substring(md5(tok), i + 1, 1) IN '0123456789abcdef') - 1").as("hv"))
+          .groupBy("doc_id", "i")
+          .agg(sum(when(col("hv") >= 8, 1).otherwise(-1)).as("sgn"))
+          .select(col("doc_id"), col("i"),
+            when(col("sgn") > 0, 1L).otherwise(0L).as("bit"))
+        bits.groupBy("doc_id")
+          .agg(sum(col("bit") * pow(lit(2.0), col("i")).cast("long")).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
+bits AS (SELECT doc_id, i.i AS i,
+    CASE WHEN sum(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), i.i + 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM tok, (SELECT unnest(range(0, 16)) AS i) i GROUP BY doc_id, i.i)
+SELECT doc_id, CAST(sum(bit * CAST(pow(2, i) AS BIGINT)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // MinHash signatures (LSH building block): lexicographic-min md5 per seed
+    ("lsh_minhash_sig",
+      (s: SparkSession, dir: String) =>
+        toks(s, dir)
+          .select(col("doc_id"), explode(Miner.ngramsCol(col("t"), 2, 2)).as("g"))
+          .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("seed"), col("g"))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("g")))).as("mh"))
+          .select(col("doc_id"), col("seed").cast("long").as("seed"), col("mh"))
+          .orderBy("doc_id", "seed"),
+      Some(s"""WITH ${gramsSql("sh", "", Seq(2))},
+seeds AS (SELECT unnest(range(0, 4)) AS seed)
+SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || g)) AS mh
+FROM sh_grams, seeds GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // N-gram Jaccard near-dup pairs, blocked on rare shingles
+    ("dd_jaccard_pairs",
+      (s: SparkSession, dir: String) => {
+        val (jac, _) = jaccardPairs(s, dir)
+        jac.filter(col("jaccard") >= 0.05)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $jaccardSql
+SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.05 ORDER BY a, b""")),
+
+    // Connected components over the near-dup graph — recursive-closure oracle
+    ("cc_components",
+      (s: SparkSession, dir: String) => {
+        val (jac, _) = jaccardPairs(s, dir)
+        val edges = jac.filter(col("jaccard") >= 0.03)
+          .select(col("a").as("src"), col("b").as("dst"))
+        ConnectedComponents.run(edges)
+          .select(col("id"), col("component")).orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $jaccardSql,
+e AS (SELECT a, b FROM jac WHERE jaccard >= 0.03),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+verts AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS component
+FROM reach GROUP BY id ORDER BY id""")),
+
+    // Embedding-cosine near-dup pairs (label-blocked exact verify)
+    ("dd_embed_cosine",
+      (s: SparkSession, dir: String) => {
+        val e = table(s, dir, "embeddings")
+        val ea = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+        val eb = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+        ea.join(eb, Seq("label")).filter(col("a") < col("b"))
+          .withColumn("cos", cosineCol(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.3)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) /
+    (sqrt(sum(CAST(a.embedding[i] AS DOUBLE)**2)) * sqrt(sum(CAST(b.embedding[i] AS DOUBLE)**2))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, pos
+  GROUP BY 1, 2)
+SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.3 ORDER BY a, b""")),
+
+    // Brute-force cosine top-k ANN baseline (broadcast queries, no shuffle on
+    // the candidate side beyond the window)
+    ("ann_topk",
+      (s: SparkSession, dir: String) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val ranked = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", cosineCol(col("qe"), col("embedding")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= 3)
+        ranked.select(col("qid"), col("vec_id"), round(col("cos"), 3).as("cos"))
+          .orderBy(col("qid"), round(col("cos"), 3).desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+pos AS (SELECT unnest(range(1, 65)) AS i),
+dots AS (SELECT q.qid, e.vec_id,
+    sum(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+    (sqrt(sum(CAST(qe[i] AS DOUBLE)**2)) * sqrt(sum(CAST(embedding[i] AS DOUBLE)**2))) AS cos
+  FROM q, embeddings e, pos WHERE e.vec_id <> q.qid GROUP BY 1, 2)
+SELECT qid, vec_id, round(cos, 3) AS cos FROM dots
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 3
+ORDER BY qid, round(cos, 3) DESC, vec_id""")),
+
+    // Language ID heuristic: stopword-hit-ratio argmax
+    ("ta_langid",
+      (s: SparkSession, dir: String) => {
+        val en = Seq("the", "a", "of", "in", "for", "to", "and", "is", "was", "on")
+        val de = Seq("der", "die", "das", "und", "ist", "von", "mit", "fur")
+        val es = Seq("el", "la", "de", "los", "y", "en", "es", "por")
+        def ratio(list: Seq[String]) =
+          size(filter(col("t"), x => x.isin(list: _*))).cast("double") /
+            greatest(size(col("t")).cast("double"), lit(1.0))
+        toks(s, dir)
+          .withColumn("r_en", ratio(en)).withColumn("r_de", ratio(de)).withColumn("r_es", ratio(es))
+          .withColumn("pred",
+            when(greatest(col("r_en"), col("r_de"), col("r_es")) === 0.0, "und")
+              .when(col("r_en") >= col("r_de") && col("r_en") >= col("r_es"), "en")
+              .when(col("r_de") >= col("r_es"), "de")
+              .otherwise("es"))
+          .select(col("doc_id"), col("pred"),
+            round(greatest(col("r_en"), col("r_de"), col("r_es")), 6).as("best_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+r AS (SELECT doc_id,
+  CAST(len(list_filter(t, x -> x IN ('the','a','of','in','for','to','and','is','was','on'))) AS DOUBLE) / greatest(len(t), 1) AS r_en,
+  CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','fur'))) AS DOUBLE) / greatest(len(t), 1) AS r_de,
+  CAST(len(list_filter(t, x -> x IN ('el','la','de','los','y','en','es','por'))) AS DOUBLE) / greatest(len(t), 1) AS r_es
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(r_en, r_de, r_es) = 0.0 THEN 'und'
+       WHEN r_en >= r_de AND r_en >= r_es THEN 'en'
+       WHEN r_de >= r_es THEN 'de' ELSE 'es' END AS pred,
+  round(greatest(r_en, r_de, r_es), 6) AS best_ratio
+FROM r ORDER BY doc_id""")),
+
+    // Document fingerprint: position-weighted hash (rolling-hash flavor)
+    ("ta_fingerprint",
+      (s: SparkSession, dir: String) =>
+        toks(s, dir)
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+          .select(col("doc_id"),
+            ((col("pos") + 1).cast("long") *
+              (lit(1L) + expr("position(substring(md5(tok), 1, 1) IN '0123456789abcdef') - 1"))).as("v"))
+          .groupBy("doc_id").agg(sum(col("v")).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+pt AS (SELECT doc_id, i, t[i] AS tok FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r)
+SELECT doc_id, CAST(sum(i * (1 + strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)) AS BIGINT) AS fingerprint
+FROM pt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // KG: entity canonicalization over the scored phrase graph (Scala-oracled in
+    // KgSpec; rows-only check here — CC/LSH semantics not SQL-expressible at
+    // this composition depth)
+    ("kg_entities",
+      (s: SparkSession, dir: String) => {
+        val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
+        val edges = Linker.candidateEdges(sc.select("phrase_id", "tokens"))
+        val comps = ConnectedComponents.run(edges)
+        Triples.entities(sc, comps)
+          .select(col("phrase_id"), col("entity_id"), col("canonical"), col("is_canonical"))
+          .orderBy("phrase_id")
+      },
+      None),
+
+    // KG: triple materialization over leftmost_longest mentions (Scala-oracled)
+    ("kg_triples",
+      (s: SparkSession, dir: String) => {
+        val m = mentions(s, dir, "leftmost_longest")
+          .join(scored(s, dir, "ratio", 1.5f, assignIds = true)
+            .select(col("ngram"), col("phrase_id")), Seq("ngram"))
+          .select(concat(lit("doc://"), col("doc_id")).as("url"),
+            lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("warc_ts"),
+            col("start").cast("int").as("start"), col("end").cast("int").as("end"),
+            col("phrase_id"), lit("PHRASE").as("label"))
+        val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
+        val edges = Linker.candidateEdges(sc.select("phrase_id", "tokens"))
+        val comps = ConnectedComponents.run(edges)
+        val ents = Triples.entities(sc, comps).select("phrase_id", "entity_id")
+        Triples.materialize(m, ents)
+          .select("subj", "pred", "obj", "url").orderBy("subj", "pred", "obj", "url")
+      },
+      None)
   )
+
+  // ---------- similarity helpers ----------
+
+  /** cosine(a, b) over ARRAY<FLOAT> columns, computed in double — pure
+   * higher-order column expression (codegen, no UDF). */
+  private def cosineCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** (jaccard pairs DF with columns a, b, jaccard; distinct-bigram table). */
+  private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val g2 = cached(s"g2|$dir") {
+      toks(s, dir).select(col("doc_id"), explode(Miner.ngramsCol(col("t"), 2, 2)).as("g"))
+        .distinct()
+    }
+    val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = g2.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 5).select("g")
+    val cand = g2.select(col("doc_id").as("a"), col("g"))
+      .join(g2.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .join(rare, Seq("g"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(g2.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(g2.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
+    (jac, g2)
+  }
+
+  /** DuckDB CTE chain ending in `jac` (a, b, jaccard) — mirrors jaccardPairs. */
+  private def jaccardSql: String =
+    s"""${gramsSql("sh", "", Seq(2))},
+g2 AS (SELECT DISTINCT doc_id, g FROM sh_grams),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g2 GROUP BY 1),
+rare AS (SELECT g FROM g2 GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM g2 a JOIN g2 b USING (g) JOIN rare USING (g) WHERE a.doc_id < b.doc_id),
+inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i FROM cand c JOIN g2 ga ON ga.doc_id = c.a JOIN g2 gb ON gb.doc_id = c.b AND gb.g = ga.g GROUP BY 1, 2),
+jac AS (SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)"""
 
   def queries: Map[String, Q] = all.map(q => q._1 -> q._2).toMap
   def oracleSql: Map[String, String] =
