@@ -39,14 +39,14 @@ object ConnectedComponents {
         .select(col("a").as("id"), col("component"))
       val nbrMin = msgs.unionByName(labels.select("id", "component"))
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: materializes with the convergence check
       // pointer jumping: component := component(component)
       val lookup = nbrMin.select(col("id").as("__k"), col("component").as("__v"))
       val jumped = nbrMin
         .join(lookup, nbrMin("component") === lookup("__k"), "left")
         .select(nbrMin("id").as("id"),
           coalesce(col("__v"), nbrMin("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = jumped
         .join(labels.select(col("id"), col("component").as("__old")), "id")
         .filter(col("component") =!= col("__old"))

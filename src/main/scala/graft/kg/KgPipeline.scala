@@ -41,15 +41,23 @@ object KgPipeline {
       numEntities: Long,
       numTriples: Long)
 
+  /** Lazy variant: the triple/mention/entity DataFrames without any counting
+   * actions — the bench path times ONE action over `triples`. `mentions` and
+   * the (small) phrase table are persisted so the mention+co-occurrence union
+   * doesn't re-run the tag scan, mirroring what a production pipeline does by
+   * writing the mention layer once. */
+  final case class KgPlan(docs: DataFrame, phrases: DataFrame, mentions: DataFrame,
+      entities: DataFrame, triples: DataFrame)
+
   /**
    * @param pages      the input corpus (url, warc_ts, html, text, lang)
    * @param background optional background n-gram table (ngram, count); when
    *                   absent, derived from the corpus' non-`lang` pages —
    *                   deterministic and self-contained.
    */
-  def run(spark: SparkSession, pages: Dataset[WebPage],
+  def build(spark: SparkSession, pages: Dataset[WebPage],
       background: Option[DataFrame] = None,
-      cfg: KgConfig = KgConfig()): KgResult = {
+      cfg: KgConfig = KgConfig()): KgPlan = {
     import spark.implicits._
 
     // extract from html (per-row byte-identity invariant vs `text` is asserted
@@ -69,7 +77,9 @@ object KgPipeline {
         .select("ngram", "count")
     }
 
-    val scored = Scorer.score(mined.select("ngram", "count"), bg, cfg.score)
+    // scored is consumed by Builder.collect, the linker and the entity table —
+    // persist the (small, thresholded) phrase set instead of re-mining per use
+    val scored = Scorer.score(mined.select("ngram", "count"), bg, cfg.score).persist()
     val (model, _) = Builder.build(scored.withColumnRenamed("domain_count", "count"))
     val bc = spark.sparkContext.broadcast(model)
 
@@ -77,24 +87,33 @@ object KgPipeline {
     val tagged = Tagger.tag(spark, docDs, bc, cfg.tag).toDF()
       .join(docs.select(col("docId"), col("warc_ts")), "docId")
 
+    // persisted: the mention+co-occurrence union downstream would otherwise
+    // re-run the whole tag scan per branch (production would write this layer)
     val mentions = tagged
       .select(col("docId").as("url"), col("warc_ts"), explode(col("spans")).as("s"))
       .select(col("url"), col("warc_ts"),
         col("s.start").as("start"), col("s.end").as("end"),
         col("s.phraseId").as("phrase_id"), col("s.label").as("label"))
+      .persist()
 
-    val rescored = scored // (ngram, tokens, salience, phrase_id, domain_count, background_count)
-    val edges = Linker.candidateEdges(rescored.select("phrase_id", "tokens"), cfg.link)
+    val edges = Linker.candidateEdges(scored.select("phrase_id", "tokens"), cfg.link)
     val comps = ConnectedComponents.run(edges)
-    val ents = Triples.entities(rescored, comps)
+    val ents = Triples.entities(scored, comps)
     val entityMap = ents.select("phrase_id", "entity_id")
     val triples = Triples.materialize(mentions, entityMap, cfg.triple)
 
+    KgPlan(docs, scored, mentions, ents, triples)
+  }
+
+  def run(spark: SparkSession, pages: Dataset[WebPage],
+      background: Option[DataFrame] = None,
+      cfg: KgConfig = KgConfig()): KgResult = {
+    val p = build(spark, pages, background, cfg)
     KgResult(
-      docs = docs.count(),
-      phrases = rescored, mentions = mentions, entities = ents, triples = triples,
-      numPhrases = rescored.count(), numMentions = mentions.count(),
-      numEntities = ents.select("entity_id").distinct().count(),
-      numTriples = triples.count())
+      docs = p.docs.count(),
+      phrases = p.phrases, mentions = p.mentions, entities = p.entities, triples = p.triples,
+      numPhrases = p.phrases.count(), numMentions = p.mentions.count(),
+      numEntities = p.entities.select("entity_id").distinct().count(),
+      numTriples = p.triples.count())
   }
 }

@@ -33,6 +33,15 @@ object Queries {
   private def cached(key: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, f.persist())
 
+  /** Drop cached DataFrames (REQUIRED before reusing Queries in a new
+   * SparkSession, e.g. between Bench scaling runs — cached plans are bound to
+   * the session that created them). */
+  def clearCache(): Unit = {
+    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.clear()
+    modelCache.clear()
+  }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

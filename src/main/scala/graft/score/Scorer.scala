@@ -56,8 +56,10 @@ object Scorer {
       .select(lower(col("ngram")).as("ngram"), col("count").cast("long").as("count"))
       .groupBy("ngram").agg(max("count").as("count"))
 
-    val dom = norm(domain)
-    val bg = norm(background)
+    // both sides feed two consumers (totals + join) — persist the normalized
+    // form so upstream mining isn't recomputed per action
+    val dom = norm(domain).persist()
+    val bg = norm(background).persist()
 
     // A2: corpus totals over ALL loaded phrases (before any filter),
     // phrasekit_score.rs:180-181. Tiny scalar aggregates → driver.
