@@ -116,4 +116,25 @@ object KgPipeline {
       numEntities = p.entities.select("entity_id").distinct().count(),
       numTriples = p.triples.count())
   }
+
+  /**
+   * Checkpointed execution into a LakeTable (north rule: "resumable from
+   * checkpoint with per-partition lineage + metrics"). The mention and triple
+   * layers are committed partitioned by a url-hash bucket; a killed run resumes
+   * by computing ONLY the buckets missing from the snapshot log. Returns the
+   * snapshot-backed triple table.
+   */
+  def runCheckpointed(spark: SparkSession, pages: Dataset[WebPage],
+      lakeRoot: String, buckets: Int = 16,
+      background: Option[DataFrame] = None,
+      cfg: KgConfig = KgConfig()): DataFrame = {
+    val lake = new graft.lake.LakeTable(spark, lakeRoot)
+    val p = build(spark, pages, background, cfg)
+    val bucketed = (df: DataFrame, key: String) =>
+      df.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+    lake.resumableWrite(bucketed(p.mentions, "url"), "bucket", "mentions")
+    lake.resumableWrite(bucketed(p.entities, "entity_id"), "bucket", "entities")
+    lake.resumableWrite(bucketed(p.triples, "subj"), "bucket", "triples")
+    lake.read("triples")
+  }
 }

