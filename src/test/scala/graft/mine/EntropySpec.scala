@@ -1,0 +1,64 @@
+package graft.mine
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-computed PMI / branching-entropy pins on a 4-doc corpus. */
+class EntropySpec extends SparkSuite {
+  import spark.implicits._
+
+  // unigrams: a=4 b=4 c=2 d=e=x=y=z=1, T=15
+  private val docs = Seq(
+    Seq("a", "b", "c", "d"),
+    Seq("a", "b", "c", "e"),
+    Seq("a", "b", "x", "y"),
+    Seq("z", "a", "b")).toDF("t")
+
+  private lazy val cands =
+    Miner.mine(docs, "t", Miner.MineConfig(2, 2, 2, ordered = false)).select("ngram", "count")
+
+  private lazy val scoredDf =
+    Entropy.score(cands,
+      Miner.mine(docs, "t", Miner.MineConfig(1, 1, 1, ordered = false)).select("ngram", "count"),
+      Miner.mine(docs, "t", Miner.MineConfig(3, 3, 1, ordered = false)).select("ngram", "count"))
+
+  test("PMI = log2(c(g)·T^(n−1)/Πc(wi)) — hand value for 'a b' and 'b c'") {
+    val m = scoredDf.select("ngram", "pmi").as[(String, Double)].collect().toMap
+    val want = math.log(4.0 * 15 / (4 * 4)) / math.log(2.0) // a b: log2(3.75)
+    assert(math.abs(m("a b") - want) < 1e-9)
+    assert(math.abs(m("b c") - math.log(2.0 * 15 / (4 * 2)) / math.log(2.0)) < 1e-9)
+  }
+
+  test("branching entropies: deterministic context → 0; {c:2,x:1} → ln3 − (2ln2)/3") {
+    val m = scoredDf.select("ngram", "left_entropy", "right_entropy")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (abL, abR) = m("a b")
+    assert(abL == 0.0) // only 'z a b' precedes
+    assert(math.abs(abR - (math.log(3.0) - 2 * math.log(2.0) / 3)) < 1e-9)
+    val (bcL, bcR) = m("b c")
+    assert(math.abs(bcL - 0.0) < 1e-9)      // always preceded by 'a'
+    assert(math.abs(bcR - math.log(2.0)) < 1e-9) // d/e equally likely
+  }
+
+  test("filterCandidates applies both gates") {
+    val kept = Entropy.filterCandidates(docs, "t", cands, 2, 2,
+        Entropy.EntropyConfig(minPmi = 1.0, minBranchEntropy = 0.5))
+      .select("ngram").as[String].collect().toSet
+    assert(kept == Set("a b", "b c"))
+    val strict = Entropy.filterCandidates(docs, "t", cands, 2, 2,
+        Entropy.EntropyConfig(minPmi = 2.0, minBranchEntropy = 0.5))
+      .select("ngram").as[String].collect().toSet
+    assert(strict.isEmpty) // both PMIs are log2(3.75) ≈ 1.907 < 2.0
+  }
+
+  test("candidates with no extensions on either side get entropy 0 (corpus edge)") {
+    val single = Seq(Seq("p", "q")).toDF("t")
+    val c1 = Miner.mine(single, "t", Miner.MineConfig(2, 2, 1, ordered = false))
+      .select("ngram", "count")
+    val out = Entropy.score(c1,
+      Miner.mine(single, "t", Miner.MineConfig(1, 1, 1, ordered = false)).select("ngram", "count"),
+      Miner.mine(single, "t", Miner.MineConfig(3, 3, 1, ordered = false)).select("ngram", "count"))
+      .select("ngram", "left_entropy", "right_entropy").as[(String, Double, Double)].collect()
+    assert(out.toSeq == Seq(("p q", 0.0, 0.0)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSuite
+import graft.streaming.EventStream
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("magic-byte sniffing recovers the declared kind for every row") {
+    val media = Multimodal.synthesizeMedia(spark, 300)
+    val mismatches = media.toDF()
+      .withColumn("sniffed", Multimodal.sniffKind(col("bytes")))
+      .filter(col("sniffed") =!= col("kind"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("partition-batched decode yields one typed row per media, deterministic") {
+    val media = Multimodal.synthesizeMedia(spark, 200)
+    val a = Multimodal.decodeMeta(spark, media).collect().sortBy(_.mediaId)
+    val b = Multimodal.decodeMeta(spark, media.repartition(7)).collect().sortBy(_.mediaId)
+    assert(a.length == 200 && a.toSeq == b.toSeq)
+    assert(a.forall(m => m.width >= 16 && m.nBytes >= 64 && m.meanLuma >= 0 && m.meanLuma <= 1))
+    assert(a.filter(_.kind.startsWith("image")).forall(_.channels == 3))
+  }
+
+  test("frame sampling explodes deterministic frame rows with sliced bytes") {
+    val media = Multimodal.synthesizeMedia(spark, 30).toDF()
+    val frames = Multimodal.sampleFrames(media, everyNth = 2)
+    val n = frames.count()
+    assert(n > 30) // at least one frame per media, most have several
+    val bad = frames.filter(length(col("frame_bytes")) > 32 || col("frame_idx") % 2 =!= 0).count()
+    assert(bad == 0)
+  }
+}
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val eventsDir = {
+    // stream source must be a directory of parquet files
+    val dir = Files.createTempDirectory("graft-events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly agg == batch hourly agg on the same bounded input") {
+    val streamed = EventStream.runBounded(spark, eventsDir,
+        EventStream.hourlyAgg, "hourly_out", OutputMode.Complete())
+      .select("hour", "event_type", "n", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.hourlyAgg(spark.read.parquet(eventsDir))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("mapGroupsWithState accumulates per-user totals") {
+    val ev = spark.read.parquet(eventsDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.UserEvent]
+    val stats = EventStream.userTotals(spark, ev).collect()
+    val expect = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats.length == expect.size)
+    stats.foreach { s =>
+      val (n, v) = expect(s.userId)
+      assert(s.events == n && math.abs(s.totalValue - v) < 1e-6)
+    }
+  }
+}
