@@ -58,20 +58,24 @@ object Builder {
       col("salience").cast("float").as("salience"),
       countCol.cast("long").as("count"))
 
-    val totalInput = base.count()
+    // one aggregate pass computes every stage counter (the reference counts
+    // these line by line; a count() per predicate would cost one Spark job
+    // each — fused into a single action for driver-latency reasons)
+    val validPred = size(col("tokens")) > 0 && !exists(col("tokens"), t => t === lit(""))
+    val countPred = cfg.minCount.map(mc => col("count") >= mc).getOrElse(lit(true))
+    val salPred = cfg.salienceThreshold
+      .map(st => col("salience") >= st.toFloat).getOrElse(lit(true))
+    val statsRow = base.agg(
+      count(lit(1)).as("total"),
+      coalesce(sum(when(!validPred, 1L).otherwise(0L)), lit(0L)).as("invalid"),
+      coalesce(sum(when(validPred && !countPred, 1L).otherwise(0L)), lit(0L)).as("lowCount"),
+      coalesce(sum(when(validPred && countPred && !salPred, 1L).otherwise(0L)), lit(0L)).as("lowSal")).head()
+    val totalInput = statsRow.getLong(0)
+    val invalidTokens = statsRow.getLong(1)
+    val filteredLowCount = statsRow.getLong(2)
+    val filteredLowSalience = statsRow.getLong(3)
 
-    // P7: validity predicates (phrasekit_build.rs:260-272)
-    val valid = base.filter(size(col("tokens")) > 0 &&
-      !exists(col("tokens"), t => t === lit("")))
-    val invalidTokens = totalInput - valid.count()
-
-    // P6: threshold re-checks (phrasekit_build.rs:246-258)
-    val afterCount = cfg.minCount.map(mc => valid.filter(col("count") >= mc)).getOrElse(valid)
-    val filteredLowCount = cfg.minCount.map(_ => valid.count() - afterCount.count()).getOrElse(0L)
-    val afterSal = cfg.salienceThreshold
-      .map(st => afterCount.filter(col("salience") >= st.toFloat)).getOrElse(afterCount)
-    val filteredLowSalience =
-      cfg.salienceThreshold.map(_ => afterCount.count() - afterSal.count()).getOrElse(0L)
+    val afterSal = base.filter(validPred && countPred && salPred)
 
     // P8: duplicate phrase_id → first occurrence wins (phrasekit_build.rs:274-278).
     // "First" is file order in the reference; our inputs carry no line numbers, so
@@ -88,7 +92,7 @@ object Builder {
       .orderBy(col("phrase_id")) // deterministic pattern order (payload order)
       .collect()
     val built = rows.length.toLong
-    val duplicates = afterSal.count() - built
+    val duplicates = (totalInput - invalidTokens - filteredLowCount - filteredLowSalience) - built
 
     // A7 + O4: vocab from the distinct lowercased tokens of ACCEPTED phrases
     val uniqueTokens = rows.iterator.flatMap(_.getSeq[String](0)).toSet

@@ -63,10 +63,14 @@ object KgPipeline {
     // extract from html (per-row byte-identity invariant vs `text` is asserted
     // in tests over the full synthetic corpus), tokenize, filter language
     val inLang = pages.toDF().filter(col("lang") === cfg.lang)
+    // the cleaned/tokenized layer feeds four consumers (two mine passes, the
+    // tag scan, the warc_ts join) — materialize it once, spilling to disk,
+    // exactly as a production pipeline writes its cleaned layer before mining
     val docs = inLang.select(
       col("url").as("docId"),
       col("warc_ts"),
       Extract.tokenize(Extract.extractText(col("html"))).as("tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val mined = Miner.mine(docs, "tokens", cfg.mine.copy(ordered = false))
     val bg = background.getOrElse {
@@ -78,10 +82,29 @@ object KgPipeline {
     }
 
     // scored is consumed by Builder.collect, the linker and the entity table —
-    // persist the (small, thresholded) phrase set instead of re-mining per use
+    // persist the (small, thresholded) phrase set; Builder's stats aggregate
+    // is the action that materializes it
     val scored = Scorer.score(mined.select("ngram", "count"), bg, cfg.score).persist()
+
     val (model, _) = Builder.build(scored.withColumnRenamed("domain_count", "count"))
     val bc = spark.sparkContext.broadcast(model)
+
+    // The DAG forks after `scored`: (a) tag scan → mentions (corpus-bound) and
+    // (b) LSH → connected components → entities (phrase-table-bound, many
+    // small latency-dominated stages). Running (b) concurrently with (a)
+    // overlaps (b)'s stage latency with (a)'s scan — Spark schedules jobs from
+    // both threads onto the same executors, exactly what a production
+    // orchestrator does with independent pipeline branches.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val entsF = Future {
+      val edges = Linker.candidateEdges(scored.select("phrase_id", "tokens"), cfg.link)
+      val comps = ConnectedComponents.run(edges)
+      val e = Triples.entities(scored, comps).persist()
+      e.count() // materialize within the overlap window
+      e
+    }
 
     val docDs = docs.select(col("docId"), col("tokens")).as[Doc]
     val tagged = Tagger.tag(spark, docDs, bc, cfg.tag).toDF()
@@ -95,10 +118,9 @@ object KgPipeline {
         col("s.start").as("start"), col("s.end").as("end"),
         col("s.phraseId").as("phrase_id"), col("s.label").as("label"))
       .persist()
+    mentions.count() // tag scan runs while the entity branch is in flight
 
-    val edges = Linker.candidateEdges(scored.select("phrase_id", "tokens"), cfg.link)
-    val comps = ConnectedComponents.run(edges)
-    val ents = Triples.entities(scored, comps)
+    val ents = Await.result(entsF, 2.hours)
     val entityMap = ents.select("phrase_id", "entity_id")
     val triples = Triples.materialize(mentions, entityMap, cfg.triple)
 

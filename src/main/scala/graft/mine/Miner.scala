@@ -29,37 +29,242 @@ import org.apache.spark.sql.functions._
 object Miner {
 
   final case class MineConfig(minN: Int = 2, maxN: Int = 5, minCount: Long = 10,
-      ordered: Boolean = true) {
+      ordered: Boolean = true,
+      // survivor-table size above which pass 2 shuffle-joins instead of
+      // broadcasting a driver-collected sorted array
+      broadcastSurvivorLimit: Long = 5000000L) {
     // config sanity mirrors phrasekit_mine.rs:78-80
     require(minN >= 1 && minN <= maxN && maxN <= 10,
       s"invalid n-gram bounds: min_n=$minN max_n=$maxN (need 1 <= min_n <= max_n <= 10)")
   }
 
   /** Column expression: ARRAY<STRING> tokens → ARRAY<STRING> of space-joined
-   * n-grams for all n in [minN, maxN], lowercased. */
+   * n-grams for all n in [minN, maxN], lowercased.
+   *
+   * Wrapped in one outer lambda binding the lowercased array ONCE: naive nesting
+   * re-evaluates `transform(tokens, lower)` inside every per-gram lambda
+   * (Catalyst does not CSE across lambda scopes), which turns generation
+   * quadratic in tokens-per-doc — measured 4× slower on the mine stage. */
   def ngramsCol(tokens: Column, minN: Int, maxN: Int): Column = {
-    val lowered = transform(tokens, t => lower(t))
-    flatten(
-      transform(sequence(lit(minN), lit(maxN)), n =>
-        when(size(lowered) >= n,
-          transform(sequence(lit(0), size(lowered) - n),
-            i => array_join(slice(lowered, i + 1, n), " ")))
-          .otherwise(array())))
+    def grams(lowered: Column): Column =
+      flatten(
+        transform(sequence(lit(minN), lit(maxN)), n =>
+          when(size(lowered) >= n,
+            transform(sequence(lit(0), size(lowered) - n),
+              i => array_join(slice(lowered, i + 1, n), " ")))
+            .otherwise(array())))
+    // element_at(transform(array(x), f), 1) = let-binding for column exprs
+    element_at(transform(array(transform(tokens, t => lower(t))), l => grams(l)), 1)
   }
 
   /**
+   * 64-bit string/window hashing for the hot mine loop (splitmix64 finalizer —
+   * standard public-domain mixing constants). Plain JIT-compiled Scala: this
+   * runs inside typed mapPartitions because Catalyst higher-order-function
+   * lambdas are INTERPRETED per element — measured 3-5× slower than even naive
+   * string aggregation when a fold runs per gram. mapPartitions is exactly the
+   * "genuine per-partition imperative logic" escape hatch.
+   */
+  object Hash64 {
+    @inline def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d493fddb7955bdL
+      z ^ (z >>> 31)
+    }
+    def str(s: String): Long = {
+      var h = 0x2545f4914f6cdd1dL
+      var i = 0
+      while (i < s.length) { h = mix(h ^ s.charAt(i).toLong); i += 1 }
+      mix(h ^ s.length.toLong)
+    }
+    @inline def combine(acc: Long, x: Long): Long = mix(acc ^ (x * 0xff51afd7ed558ccdL))
+  }
+
+  /** Unboxed open-addressing long→count map — the per-partition combiner for
+   * pass 1. Emitting one boxed Long per gram instance (160M+ at 2M docs)
+   * drowned the 32-thread run in GC; combining in primitive arrays first emits
+   * only the distinct grams of each partition. */
+  private final class LongCountMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var counts = new Array[Long](cap) // count == 0 ⇔ slot empty
+    private var n = 0
+    def add(k: Long): Unit = {
+      var i = (Hash64.mix(k) & mask).toInt
+      while (counts(i) != 0 && keys(i) != k) i = (i + 1) & mask
+      if (counts(i) == 0) { keys(i) = k; n += 1; if (n * 10 > cap * 7) { counts(i) = 1; grow(); return } }
+      counts(i) += 1
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oc = counts
+      cap <<= 1; mask = cap - 1; n = 0
+      keys = new Array[Long](cap); counts = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (oc(i) != 0) {
+          var j = (Hash64.mix(ok(i)) & mask).toInt
+          while (counts(j) != 0) j = (j + 1) & mask
+          keys(j) = ok(i); counts(j) = oc(i); n += 1
+        }
+        i += 1
+      }
+    }
+    def iterator: Iterator[(Long, Long)] = (0 until cap).iterator
+      .filter(counts(_) != 0).map(i => (keys(i), counts(i)))
+  }
+
+  /** Per-doc gram-window hashes into the combiner: lowercase + hash each token
+   * once, then pure long arithmetic per window. Zero allocation per gram. */
+  private def gramHashesInto(toks: Seq[String], minN: Int, maxN: Int,
+      map: LongCountMap, th0: Array[Long]): Unit = {
+    val L = toks.length
+    val th = if (th0.length >= L) th0 else new Array[Long](L)
+    var i = 0
+    toks.foreach { t => th(i) = Hash64.str(t.toLowerCase(java.util.Locale.ROOT)); i += 1 }
+    var n = minN
+    while (n <= maxN) {
+      var s = 0
+      while (s + n <= L) {
+        var h = 0x5851f42d4c957f2dL ^ n.toLong
+        var j = s
+        while (j < s + n) { h = Hash64.combine(h, th(j)); j += 1 }
+        map.add(h)
+        s += 1
+      }
+      n += 1
+    }
+  }
+
+
+  /**
    * Mine n-grams from a corpus.
+   *
+   * Two-pass hash-first aggregation: (1) count 64-bit gram hashes — the
+   * partial-agg hashmaps hold longs, not strings, which at web scale is the
+   * difference between ~30 MB and hundreds of MB per concurrent task (string
+   * maps made local[32] SLOWER than local[8]: memory-bandwidth/GC bound);
+   * (2) re-materialize the ngram string only for grams that survived
+   * min_count, via a join on the (small by construction) survivor table +
+   * per-partition dedup. The count itself keys on xxhash64 of the token
+   * slice; a 64-bit collision would merge two gram counts — probability
+   * ~(distinct²)/2⁶⁵, negligible even at 10⁹ distinct grams.
+   *
    * @param docs any DataFrame with an ARRAY<STRING> column `tokensCol`
    * @return DataFrame(ngram STRING, tokens ARRAY<STRING>, count BIGINT)
    */
   def mine(docs: DataFrame, tokensCol: String, cfg: MineConfig = MineConfig()): DataFrame = {
-    val counted = docs
-      .select(explode(ngramsCol(col(tokensCol), cfg.minN, cfg.maxN)).as("ngram"))
-      .groupBy(col("ngram"))
-      .agg(count(lit(1)).as("count"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toksDs = docs.select(col(tokensCol)).as[Seq[String]]
+    val (minN, maxN) = (cfg.minN, cfg.maxN)
+
+    // pass 1: count gram hashes — per-partition unboxed combiner, then a
+    // global sum over the (distinct-per-partition) combined pairs. Longs
+    // end-to-end; memory per task is the combiner's two primitive arrays.
+    val survivors = toksDs
+      .mapPartitions { it =>
+        val map = new LongCountMap(1 << 16)
+        val th = new Array[Long](256)
+        it.foreach(toks => gramHashesInto(toks, minN, maxN, map, th))
+        map.iterator
+      }
+      .toDF("h", "partial")
+      .groupBy(col("h"))
+      .agg(sum(col("partial")).as("count"))
       .filter(col("count") >= cfg.minCount)
-      .withColumn("tokens", split(col("ngram"), " "))
-      .select("ngram", "tokens", "count")
+
+    // pass 2: re-materialize ngram strings for survivors only. Broadcast path:
+    // ONE action total — (h, count) rows are collected with a limit guard,
+    // sorted, and shipped as two parallel primitive arrays; the binary-search
+    // index doubles as an unboxed dedup slot AND the count lookup, so no final
+    // join and no persist are needed. Each partition builds each survivor's
+    // string exactly once; every other instance costs long arithmetic + one
+    // search.
+    val guard = math.min(cfg.broadcastSurvivorLimit, Int.MaxValue - 2L).toInt
+    val collected = survivors.limit(guard + 1).collect()
+    val counted: DataFrame =
+      if (collected.length <= guard) {
+        val sortedHs = new Array[Long](collected.length)
+        val counts = new Array[Long](collected.length)
+        val byH = collected.sortBy(_.getLong(0))
+        var i = 0
+        while (i < byH.length) {
+          sortedHs(i) = byH(i).getLong(0); counts(i) = byH(i).getLong(1); i += 1
+        }
+        val bc = spark.sparkContext.broadcast((sortedHs, counts))
+        toksDs.mapPartitions { it =>
+          val (set, cnts) = bc.value
+          val done = new Array[Boolean](set.length)
+          it.flatMap { toks =>
+            val out = List.newBuilder[(Long, String, Long)]
+            val L = toks.length
+            val lower = new Array[String](L)
+            val th = new Array[Long](L)
+            var i = 0
+            toks.foreach { t =>
+              lower(i) = t.toLowerCase(java.util.Locale.ROOT)
+              th(i) = Hash64.str(lower(i))
+              i += 1
+            }
+            var n = minN
+            while (n <= maxN) {
+              var s = 0
+              while (s + n <= L) {
+                var h = 0x5851f42d4c957f2dL ^ n.toLong
+                var j = s
+                while (j < s + n) { h = Hash64.combine(h, th(j)); j += 1 }
+                val idx = java.util.Arrays.binarySearch(set, h)
+                if (idx >= 0 && !done(idx)) {
+                  done(idx) = true
+                  out += ((h, lower.slice(s, s + n).mkString(" "), cnts(idx)))
+                }
+                s += 1
+              }
+              n += 1
+            }
+            out.result()
+          }
+        }.toDF("h", "ngram", "count")
+          .dropDuplicates("h")
+          .withColumn("tokens", split(col("ngram"), " "))
+          .select("ngram", "tokens", "count")
+      } else {
+        // survivor table too big to collect: emit every distinct gram once per
+        // partition (set dedup), shuffle join against the survivor table
+        val pairs = toksDs.mapPartitions { it =>
+          val seen = new scala.collection.mutable.HashSet[Long]
+          it.flatMap { toks =>
+            val out = List.newBuilder[(Long, String)]
+            val L = toks.length
+            val lower = new Array[String](L)
+            val th = new Array[Long](L)
+            var i = 0
+            toks.foreach { t =>
+              lower(i) = t.toLowerCase(java.util.Locale.ROOT)
+              th(i) = Hash64.str(lower(i))
+              i += 1
+            }
+            var n = minN
+            while (n <= maxN) {
+              var s = 0
+              while (s + n <= L) {
+                var h = 0x5851f42d4c957f2dL ^ n.toLong
+                var j = s
+                while (j < s + n) { h = Hash64.combine(h, th(j)); j += 1 }
+                if (seen.add(h)) out += ((h, lower.slice(s, s + n).mkString(" ")))
+                s += 1
+              }
+              n += 1
+            }
+            out.result()
+          }
+        }.toDF("h", "ngram").dropDuplicates("h")
+        pairs.join(survivors, Seq("h"))
+          .withColumn("tokens", split(col("ngram"), " "))
+          .select("ngram", "tokens", "count")
+      }
     if (cfg.ordered) counted.orderBy(col("count").desc, col("ngram").asc) else counted
   }
 

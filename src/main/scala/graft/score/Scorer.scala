@@ -62,9 +62,13 @@ object Scorer {
     val bg = norm(background).persist()
 
     // A2: corpus totals over ALL loaded phrases (before any filter),
-    // phrasekit_score.rs:180-181. Tiny scalar aggregates → driver.
-    val totalDomain = dom.agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
-    val totalBackground = bg.agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    // phrasekit_score.rs:180-181. One union-of-aggregates action: both sides
+    // materialize their persist in a single job, in parallel.
+    val totalsRows = dom.agg(coalesce(sum("count"), lit(0L)).as("t")).withColumn("s", lit("d"))
+      .unionByName(bg.agg(coalesce(sum("count"), lit(0L)).as("t")).withColumn("s", lit("b")))
+      .collect()
+    val totalDomain = totalsRows.find(_.getString(1) == "d").get.getLong(0)
+    val totalBackground = totalsRows.find(_.getString(1) == "b").get.getLong(0)
 
     val joined = dom
       .filter(col("count") >= cfg.minDomainCount) // P4, before the join

@@ -151,4 +151,14 @@ class KgSpec extends SparkSuite {
       .select("subj", "pred", "obj", "url").as[(String, String, String, String)].collect().toSet
     assert(r1 == r2 && r1.nonEmpty)
   }
+
+  test("contraction CC == iterative CC on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val edges = (1 to 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("src", "dst")
+      val a = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+      val b = ConnectedComponents.runIterative(edges).as[(Long, Long)].collect().toMap
+      assert(a == b, s"trial $trial mismatch")
+    }
+  }
 }

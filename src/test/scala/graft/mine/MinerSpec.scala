@@ -73,4 +73,14 @@ class MinerSpec extends SparkSuite {
     val p95 = times(94)
     assert(p95 < 500000L, s"p95 = ${p95 / 1000.0}µs (budget 500µs)")
   }
+
+  test("join-path rematerialization (survivors above broadcast limit) matches broadcast path") {
+    val cfgB = Miner.MineConfig(2, 3, 1)
+    val cfgJ = Miner.MineConfig(2, 3, 1, broadcastSurvivorLimit = 0)
+    val a = Miner.mine(corpus, "tokens", cfgB).select("ngram", "count")
+      .as[(String, Long)].collect().toSet
+    val b = Miner.mine(corpus, "tokens", cfgJ).select("ngram", "count")
+      .as[(String, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
