@@ -577,6 +577,20 @@ pt AS (SELECT doc_id, i, t[i] AS tok FROM t, LATERAL (SELECT unnest(range(1, len
 SELECT doc_id, CAST(sum(i * (1 + strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)) AS BIGINT) AS fingerprint
 FROM pt GROUP BY doc_id ORDER BY doc_id""")),
 
+    // IVF ANN (the ANN scale path; brute-force ann_topk above is the oracle-
+    // checked baseline; IVF recall-vs-exact is pinned in SimilaritySpec)
+    ("ann_ivf",
+      (s: SparkSession, dir: String) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+        val cfg = graft.ops.Similarity.IvfConfig(nCells = 16, lloydIter = 2, nProbe = 4)
+        val idx = graft.ops.Similarity.ivfIndex(e, "vec_id", "embedding", cfg)
+        graft.ops.Similarity.ivfTopK(idx, q, "vec_id", "embedding", 3, cfg)
+          .select(col("query_id"), col("neighbor_id"), round(col("cos"), 3).as("cos"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      None),
+
     // KG: entity canonicalization over the scored phrase graph (Scala-oracled in
     // KgSpec; rows-only check here — CC/LSH semantics not SQL-expressible at
     // this composition depth)

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.corpus.{Extract, Synth}
+
+/**
+ * Physical-plan assertions — the scale properties the code relies on must be
+ * visible in `explain`, not assumed: filter pushdown reaches the parquet scan,
+ * column pruning drops unread (and expensive — html BINARY) columns, and the
+ * tag stage plans with ZERO exchanges.
+ */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val corpusDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-corpus").toString
+    Synth.corpus(spark, 300).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("lineitem date filter is pushed to the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_shipdate") < lit("1998-09-01"))
+      .select("l_returnflag", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // column pruning: only the 3 referenced columns are read
+    val readSchema = "ReadSchema: .*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("mine path over the lake corpus never reads the text column (html+lang only)") {
+    val pages = spark.read.parquet(corpusDir)
+    val mine = pages.filter(col("lang") === "en")
+      .select(Extract.tokenize(Extract.extractText(col("html"))).as("t"))
+    val p = plan(mine)
+    val readSchema = "ReadSchema: .*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("html") && !readSchema.contains("text"), readSchema)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("tag stage plans with zero exchanges (broadcast model, mapPartitions only)") {
+    import graft.model.Doc
+    val docs = Seq(Doc("a", Seq("machine", "learning"))).toDS()
+    val model = graft.artifact.Builder.build(
+      Seq(("machine learning", Seq("machine", "learning"), 2.5f, 100, 10L))
+        .toDF("ngram", "tokens", "salience", "phrase_id", "count"))._1
+    val bc = spark.sparkContext.broadcast(model)
+    val tagged = graft.tag.Tagger.tag(spark, docs, bc)
+    val p = plan(tagged.toDF())
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("scoring join keeps the min_domain_count filter below the join (pushdown)") {
+    val dom = Seq(("a b", 10L), ("c d", 2L)).toDF("ngram", "count")
+    val bg = Seq(("a b", 1L)).toDF("ngram", "count")
+    val scored = graft.score.Scorer.score(dom, bg,
+      graft.score.Scorer.ScoreConfig("ratio", 0.0f, 5, assignPhraseIds = false))
+    // optimized plan: the count >= 5 predicate sits in the domain-side subtree,
+    // not above the join
+    val optimized = scored.queryExecution.optimizedPlan.toString
+    val joinIdx = optimized.indexOf("Join")
+    val filterIdx = optimized.indexOf(">= 5")
+    assert(joinIdx >= 0 && filterIdx > joinIdx, optimized)
+  }
+}
