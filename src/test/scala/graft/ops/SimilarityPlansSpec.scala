@@ -21,7 +21,7 @@ class SimilaritySpec extends SparkSuite {
     top.foreach { case (q, c) => assert(math.abs(c - all(q)) < 1e-12) }
   }
 
-  test("IVF ANN: deterministic index, bounded scan, recall ≥ 0.6 @ nProbe=4/16 cells") {
+  test("IVF ANN: deterministic index, bounded scan, recall floor + exactness at full probe") {
     val cfg = Similarity.IvfConfig(nCells = 16, lloydIter = 2, nProbe = 4)
     val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cfg)
     val (cells, assigned) = idx
