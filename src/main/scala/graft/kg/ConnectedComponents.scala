@@ -72,11 +72,15 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.selectExpr("cast(src as long) as a", "cast(dst as long) as b").as[(Long, Long)]
+    // localCheckpoint materializes the per-partition forests ONCE: without it
+    // the sizing count() and the coalesce(1) merge would each re-run the full
+    // edge scan + union-find (blocks are reclaimed by the ContextCleaner when
+    // the dataset is GC'd)
     val stars = e.mapPartitions { it =>
       val uf = new UnionFind
       it.foreach { case (a, b) => uf.touch(a); uf.touch(b); uf.union(a, b) }
       uf.entries
-    }
+    }.localCheckpoint()
     // small by construction (≤ one pair per vertex per partition)
     val nStars = stars.count()
     if (nStars <= ContractionLimit) {

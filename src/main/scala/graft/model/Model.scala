@@ -30,11 +30,16 @@ final case class ScoredPhrase(
 
 /**
  * Per-phrase runtime record carried by the matcher.
- * salienceScore mirrors ext/phrasekit/src/payload.rs:23-25 bit-for-bit:
- * f32 multiply of salience by ln(count+1) computed in f32.
+ * salienceScore mirrors ext/phrasekit/src/payload.rs:23-25:
+ * `salience * ((count + 1) as f32).ln()` — (count+1) is rounded to f32 FIRST
+ * (lossy above 2^24), ln evaluates on that f32 value, and the final multiply is
+ * a single f32 rounding (exact: JVM f32*f32 == Rust f32*f32). The only residual
+ * divergence is ≤1 ulp of ln itself (JVM fdlibm log(double)→f32 vs Rust logf),
+ * which survives f32 rounding only at ~2^-29-probability boundaries.
  */
 final case class Payload(phraseId: Int, salience: Float, count: Int, n: Byte) {
-  def salienceScore: Float = salience * math.log((count.toLong & 0xffffffffL) + 1L).toFloat
+  def salienceScore: Float =
+    salience * math.log(((count.toLong & 0xffffffffL) + 1L).toFloat.toDouble).toFloat
 }
 
 /** A resolved phrase span over a token sequence; half-open token interval [start, end). */

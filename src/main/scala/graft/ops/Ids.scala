@@ -22,12 +22,15 @@ object Ids {
     val pidCol = "__graft_pid"
     val rnCol = "__graft_rn"
     val offCol = "__graft_off"
-    // persist so the two consumers below see identical (sampled) range boundaries
+    // localCheckpoint (not persist) so the two consumers below see identical
+    // (sampled) range boundaries AND the blocks are reclaimed automatically
+    // when the dataset is GC'd — a bare persist() here leaked cache across
+    // queries for the lifetime of the session
     val parted = df
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn(pidCol, spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val w = Window.partitionBy(col(pidCol)).orderBy(orderCols: _*)
     val withRn = parted.withColumn(rnCol, row_number().over(w))
     val offsets = parted.groupBy(col(pidCol)).agg(count(lit(1)).as("__cnt"))

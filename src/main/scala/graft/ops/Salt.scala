@@ -17,10 +17,14 @@ object Salt {
 
   /** Two-phase salted count: groupBy (key, salt) partial counts → groupBy key
    * final sum. Equivalent to groupBy(key).count() but bounds any single
-   * reducer's share of a hot key to 1/buckets. */
+   * reducer's share of a hot key to 1/buckets. The salt is a DETERMINISTIC
+   * hash of the whole row — monotonically_increasing_id() upstream of a
+   * shuffle changes row→bucket assignment on task retry after a fetch
+   * failure (indeterminate-stage correctness hazard). */
   def saltedCount(df: DataFrame, keyCol: Column, buckets: Int): DataFrame = {
+    val rowHash = xxhash64(df.columns.map(col).toIndexedSeq: _*)
     val salted = df
-      .withColumn("__salt", pmod(xxhash64(keyCol, monotonically_increasing_id()), lit(buckets)))
+      .withColumn("__salt", pmod(xxhash64(keyCol, rowHash), lit(buckets)))
       .groupBy(keyCol.as("key"), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
     salted.groupBy(col("key")).agg(sum(col("__partial")).as("count"))
@@ -32,7 +36,8 @@ object Salt {
   def repartitionSalted(df: DataFrame, numPartitions: Int, keyCol: Column,
       buckets: Int, spreadCols: Column*): DataFrame = {
     val spread = if (spreadCols.nonEmpty) xxhash64(spreadCols: _*)
-                 else monotonically_increasing_id()
+                 else xxhash64(df.columns.map(col).toIndexedSeq: _*) // deterministic row hash
+
     df.withColumn("__salt", pmod(spread, lit(buckets.toLong)))
       .repartition(numPartitions, keyCol, col("__salt"))
       .drop("__salt")

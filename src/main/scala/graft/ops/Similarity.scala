@@ -55,8 +55,12 @@ object Similarity {
    * assigned corpus DF (id, vec, cell)). */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       cfg: IvfConfig = IvfConfig()): (DataFrame, DataFrame) = {
+    // materialize the projected vector table once: it is scanned lloydIter+1
+    // times (each Lloyd assign + the final assignment) — localCheckpoint blocks
+    // are freed by the ContextCleaner when the index is GC'd
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .localCheckpoint()
 
     // deterministic seed centroids: the nCells corpus vectors with the
     // smallest xxhash64(id) — a seeded uniform sample, no Math.random
@@ -70,12 +74,16 @@ object Similarity {
     // element-wise mean via posexplode + groupBy (cell, pos) — one shuffle.
     for (_ <- 1 to cfg.lloydIter) {
       val assigned = assign(base, centroids)
+      // localCheckpoint per iteration: the centroid table is tiny, and without
+      // it the loop's lineage compounds — every later iteration (and the final
+      // assign) would re-execute all previous Lloyd rounds from scratch
       centroids = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
+        .localCheckpoint()
     }
     (centroids, assign(base, centroids))
   }

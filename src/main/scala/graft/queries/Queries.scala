@@ -67,58 +67,85 @@ object Queries {
   }
 
   def scored(s: SparkSession, dir: String, method: String, minSal: Float,
-      assignIds: Boolean = false): DataFrame =
-    cached(s"scored|$method|$minSal|$assignIds|$dir") {
+      assignIds: Boolean = false, minDomainCount: Long = 8): DataFrame =
+    cached(s"scored|$method|$minSal|$assignIds|$minDomainCount|$dir") {
       Scorer.score(domain(s, dir), background(s, dir),
-        Scorer.ScoreConfig(method, minSal, 8, assignPhraseIds = assignIds,
+        Scorer.ScoreConfig(method, minSal, minDomainCount, assignPhraseIds = assignIds,
           startingPhraseId = 1000, floatSemantics = false))
     }
 
   private val modelCache = TrieMap.empty[String, TagModel]
 
-  /** Broadcast tag model over the ratio-scored phrase set. */
-  def tagModel(s: SparkSession, dir: String): TagModel =
-    modelCache.getOrElseUpdate(dir, {
-      Builder.build(scored(s, dir, "ratio", 1.5f, assignIds = true)
-        .withColumnRenamed("domain_count", "count"))._1
+  /** Broadcast tag model over the ratio-scored phrase set. `lax` lowers the
+   * thresholds (minSal 1.0, minDomainCount 5) to a phrase set that contains
+   * same-start 2-gram/3-gram pairs — the configuration under which
+   * leftmost_first genuinely diverges from leftmost_longest. */
+  def tagModel(s: SparkSession, dir: String, lax: Boolean = false): TagModel =
+    modelCache.getOrElseUpdate(s"$dir|$lax", {
+      Builder.build(scoredFor(s, dir, lax).withColumnRenamed("domain_count", "count"))._1
     })
 
-  /** Tagged mentions (doc_id, start, end, ngram) over english documents. */
-  def mentions(s: SparkSession, dir: String, policy: String): DataFrame = {
+  private def scoredFor(s: SparkSession, dir: String, lax: Boolean): DataFrame =
+    if (lax) scored(s, dir, "ratio", 1.0f, assignIds = true, minDomainCount = 5)
+    else scored(s, dir, "ratio", 1.5f, assignIds = true)
+
+  /** Tagged mentions (doc_id, start, end, ngram) over english documents.
+   * salience_max exists only in the runtime-matcher policy parse (policy.rs:
+   * 10-19) — the tag-CLI parse would fall through to "all" — so it is tagged
+   * with strictPolicy. */
+  def mentions(s: SparkSession, dir: String, policy: String,
+      lax: Boolean = false): DataFrame = {
     import s.implicits._
-    val model = tagModel(s, dir)
+    val model = tagModel(s, dir, lax)
     val bc = s.sparkContext.broadcast(model)
     val ds = toks(s, dir, Some(true))
       .select(col("doc_id").cast("string").as("docId"), col("t").as("tokens")).as[Doc]
-    val tagged = Tagger.tag(s, ds, bc, Tagger.TagConfig(policy, maxSpans = 1 << 30))
+    val tagged = Tagger.tag(s, ds, bc,
+      Tagger.TagConfig(policy, maxSpans = 1 << 30, strictPolicy = policy == "salience_max"))
     tagged.toDF()
       .select(col("docId").cast("long").as("doc_id"), explode(col("spans")).as("sp"))
       .select(col("doc_id"), col("sp.start").cast("long").as("start"),
         col("sp.end").cast("long").as("end"), col("sp.phraseId").as("phrase_id"))
-      .join(scored(s, dir, "ratio", 1.5f, assignIds = true)
+      .join(scoredFor(s, dir, lax)
         .select(col("phrase_id").cast("int").as("phrase_id"), col("ngram")), Seq("phrase_id"))
       .select("doc_id", "start", "end", "ngram")
   }
 
-  /** DuckDB: matches CTE `mt` (doc_id, s 0-based, e) of every phrase occurrence. */
-  private def matchesSql =
-    s"""${scoredSql("ratio", "1.5")},
+  /** Cached entity table (phrase_id, entity_id, canonical, is_canonical):
+   * LSH candidate edges → connected components → canonicalization. Computed
+   * ONCE and shared by kg_entities and kg_triples — rebuilding LSH+CC per
+   * query duplicated ~28 s inside one Verify/Bench run. */
+  def entities(s: SparkSession, dir: String): DataFrame = cached(s"entities|$dir") {
+    val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
+    val edges = Linker.candidateEdges(sc.select("phrase_id", "tokens"))
+    val comps = ConnectedComponents.run(edges)
+    Triples.entities(sc, comps)
+  }
+
+  /** DuckDB: matches CTE `mt` (doc_id, s 0-based, e) of every phrase occurrence.
+   * `lax` mirrors the lax tag model (minSal 1.0, minDomainCount 5). */
+  private def matchesSqlFor(lax: Boolean) = {
+    val sc = if (lax) scoredSql("ratio", "1.0", "5") else scoredSql("ratio", "1.5")
+    s"""$sc,
 ${gramsSql("tg", "WHERE lang = 'en'", Seq(2, 3))},
 mt AS (SELECT g.doc_id, CAST(g.pos - 1 AS BIGINT) AS s, CAST(g.pos - 1 + g.n AS BIGINT) AS e, g.g AS ngram
   FROM tg_grams g JOIN scored p ON g.g = p.ngram)"""
+  }
+  private def matchesSql = matchesSqlFor(false)
 
   // ---------- shared SQL fragments ----------
 
-  /** CTEs: {p}_toks, {p}_pos, {p}_grams (doc_id, pos 1-based, n, g), {p}
-   * (ngram, count). Positions via a bounded cross join (docs here are ≤4096
-   * tokens) — DuckDB 1.0's LATERAL + VALUES-alias reference hits an internal
-   * binder bug, so no lateral. */
+  /** CTEs: {p}_toks, {p}_grams (doc_id, pos 1-based, n, g), {p} (ngram, count).
+   * Positions are generated from each doc's own length via a LATERAL range —
+   * no fixed cap, so arbitrarily long documents enumerate every tail n-gram.
+   * (DuckDB 1.0's binder bug is LATERAL referencing a VALUES-alias COLUMN; a
+   * lateral over the table column `t` is fine and already proven by the
+   * ta_fingerprint oracle.) */
   private def gramsSql(p: String, where: String, ns: Seq[Int]): String = {
     val vals = ns.map(n => s"($n)").mkString(",")
     s"""${p}_toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t FROM documents $where),
-${p}_pos AS (SELECT unnest(range(1, 4096)) AS i),
 ${p}_grams AS (SELECT doc_id, i AS pos, ns.n AS n, array_to_string(t[i:i+ns.n-1], ' ') AS g
-  FROM ${p}_toks, (VALUES $vals) ns(n), ${p}_pos
+  FROM ${p}_toks, (VALUES $vals) ns(n), LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
   WHERE i + ns.n - 1 <= len(t))"""
   }
 
@@ -130,7 +157,7 @@ $p AS (SELECT g AS ngram, CAST(count(*) AS BIGINT) AS count FROM ${p}_grams GROU
   private val bgSql = minedSql("bg", "WHERE lang <> 'en'", Seq(2, 3), 2)
 
   /** CTE `scored`: ngram, domain_count, background_count, salience(method). */
-  private def scoredSql(method: String, minSal: String): String = {
+  private def scoredSql(method: String, minSal: String, minDc: String = "8"): String = {
     val sal = method match {
       case "ratio" => "CAST(d.count AS DOUBLE) / CAST(coalesce(b.count, 0) + 1 AS DOUBLE)"
       case "pmi" =>
@@ -147,7 +174,7 @@ $p AS (SELECT g AS ngram, CAST(count(*) AS BIGINT) AS count FROM ${p}_grams GROU
     s"""$domainSql, $bgSql $totals,
 scored0 AS (SELECT d.ngram, d.count AS domain_count, CAST(coalesce(b.count, 0) AS BIGINT) AS background_count, $sal AS salience
   FROM dom d LEFT JOIN bg b USING (ngram) $totalJoin
-  WHERE d.count >= 8),
+  WHERE d.count >= $minDc),
 scored AS (SELECT * FROM scored0 WHERE salience >= $minSal)"""
   }
 
@@ -396,7 +423,81 @@ sel(doc_id, s, e) AS (
 )
 SELECT doc_id, s AS start, e AS "end" FROM sel ORDER BY doc_id, s""")),
 
-    // A5: corpus-level tagging stats over the all-policy matches
+    // W2: leftmost_first overlap resolution — stable start sort + greedy
+    // first-fit; at equal start the SHORTEST wins because the automaton emitted
+    // it first (policy.rs:91-103). Same recursive-CTE scheme as w1 with the
+    // tie order flipped to (s ASC, e ASC). Runs on the LAX phrase set, which
+    // contains same-start 2/3-gram pairs — the case where this policy actually
+    // diverges from leftmost_longest (on the strict set the two coincide).
+    ("w2_tag_leftmost_first",
+      (s: SparkSession, dir: String) =>
+        mentions(s, dir, "leftmost_first", lax = true)
+          .select("doc_id", "start", "end").orderBy("doc_id", "start"),
+      Some(s"""WITH RECURSIVE ${matchesSqlFor(true)},
+sel(doc_id, s, e) AS (
+  SELECT doc_id, s, e FROM (
+    SELECT doc_id, s, e, row_number() OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC) AS rn FROM mt
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT nxt.doc_id, nxt.s, nxt.e FROM sel, LATERAL (
+    SELECT doc_id, s, e FROM mt WHERE mt.doc_id = sel.doc_id AND mt.s >= sel.e
+    ORDER BY s ASC, e ASC LIMIT 1
+  ) nxt
+)
+SELECT doc_id, s AS start, e AS "end" FROM sel ORDER BY doc_id, s""")),
+
+    // W3: salience_max overlap resolution (policy.rs:105-135): runs of matches
+    // overlapping the run head; pick max by salience*ln(count+1) in f32
+    // (payload.rs:23-25), LAST-max-wins on ties (Rust max_by); resume at first
+    // match with start >= best.end. Oracled as a functional-graph recursion:
+    // the resume position is always 0 or an `e` value, so head + run-best are
+    // precomputed per candidate position and the recursion is a pure equi-join.
+    ("w3_tag_salience_max",
+      (s: SparkSession, dir: String) =>
+        mentions(s, dir, "salience_max")
+          .select("doc_id", "start", "end").orderBy("doc_id", "start"),
+      Some(s"""WITH RECURSIVE $matchesSql,
+mts AS (SELECT m.doc_id, m.s, m.e,
+    CAST(CAST(p.salience AS REAL) * CAST(ln(CAST(p.domain_count + 1 AS REAL)) AS REAL) AS REAL) AS score
+  FROM mt m JOIN scored p ON m.ngram = p.ngram),
+poss AS (SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS pos FROM mts
+         UNION SELECT DISTINCT doc_id, e FROM mts),
+hd AS (SELECT p.doc_id, p.pos, m.e AS he
+  FROM poss p JOIN mts m ON m.doc_id = p.doc_id AND m.s >= p.pos
+  QUALIFY row_number() OVER (PARTITION BY p.doc_id, p.pos ORDER BY m.s, m.e) = 1),
+rb AS (SELECT h.doc_id, h.pos, m.s, m.e
+  FROM hd h JOIN mts m ON m.doc_id = h.doc_id AND m.s >= h.pos AND m.s < h.he
+  QUALIFY row_number() OVER (PARTITION BY h.doc_id, h.pos ORDER BY m.score DESC, m.s DESC, m.e DESC) = 1),
+sel(doc_id, s, e, nxt) AS (
+  SELECT doc_id, s, e, e FROM rb WHERE pos = 0
+  UNION ALL
+  SELECT r.doc_id, r.s, r.e, r.e FROM sel JOIN rb r ON r.doc_id = sel.doc_id AND r.pos = sel.nxt
+)
+SELECT doc_id, s AS start, e AS "end" FROM sel ORDER BY doc_id, s""")),
+
+    // A4: scoring-stage stats (phrasekit_score.rs:56-62's ScoringStats), as a
+    // cross join of single-row aggregates — no GROUP BY, robust on empty inputs
+    ("a4_score_stats",
+      (s: SparkSession, dir: String) => {
+        val d = domain(s, dir).agg(count(lit(1)).as("domain_phrases"))
+        val b = background(s, dir).agg(count(lit(1)).as("background_phrases"))
+        val adf = domain(s, dir).filter(col("count") >= 8)
+          .agg(count(lit(1)).as("after_domain_filter"))
+        val asf = scored(s, dir, "ratio", 1.5f)
+          .agg(count(lit(1)).as("after_salience_filter"))
+        d.crossJoin(b).crossJoin(adf).crossJoin(asf)
+      },
+      Some(s"""WITH ${scoredSql("ratio", "1.5")}
+SELECT * FROM
+  (SELECT CAST(count(*) AS BIGINT) AS domain_phrases FROM dom),
+  (SELECT CAST(count(*) AS BIGINT) AS background_phrases FROM bg),
+  (SELECT CAST(count(*) AS BIGINT) AS after_domain_filter FROM dom WHERE count >= 8),
+  (SELECT CAST(count(*) AS BIGINT) AS after_salience_filter FROM scored)""")),
+
+    // A5: corpus-level tagging stats over the all-policy matches. Both sides
+    // are GROUP-BY-free single-row aggregates (a GROUP BY oracle would return
+    // ZERO rows on an empty match set while Spark's global agg returns one),
+    // and the division is guarded for the nDocs=0 degenerate input.
     ("a5_tag_stats",
       (s: SparkSession, dir: String) => {
         val m = mentions(s, dir, "all")
@@ -404,15 +505,15 @@ SELECT doc_id, s AS start, e AS "end" FROM sel ORDER BY doc_id, s""")),
         m.agg(lit(nDocs).as("documents"),
           count(lit(1)).as("total_matches"),
           countDistinct(col("doc_id")).as("docs_with_matches"),
-          round(count(lit(1)).cast("double") / lit(nDocs.toDouble), 6).as("avg_per_doc"))
+          round(count(lit(1)).cast("double") / lit(math.max(nDocs, 1L).toDouble), 6)
+            .as("avg_per_doc"))
       },
-      Some(s"""WITH $matchesSql,
-nd AS (SELECT CAST(count(*) AS BIGINT) AS documents FROM tg_toks)
-SELECT nd.documents,
-  CAST(count(*) AS BIGINT) AS total_matches,
-  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_matches,
-  round(CAST(count(*) AS DOUBLE) / nd.documents, 6) AS avg_per_doc
-FROM mt, nd GROUP BY nd.documents""")),
+      Some(s"""WITH $matchesSql
+SELECT nd.documents, c.total_matches, c.docs_with_matches,
+  round(CAST(c.total_matches AS DOUBLE) / greatest(nd.documents, 1), 6) AS avg_per_doc
+FROM (SELECT CAST(count(*) AS BIGINT) AS documents FROM tg_toks) nd,
+     (SELECT CAST(count(*) AS BIGINT) AS total_matches,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_matches FROM mt) c""")),
 
     // SimHash near-dup fingerprint: 16 bits from per-token md5 hex digits
     ("dd_simhash",
@@ -595,14 +696,10 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
     // KgSpec; rows-only check here — CC/LSH semantics not SQL-expressible at
     // this composition depth)
     ("kg_entities",
-      (s: SparkSession, dir: String) => {
-        val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
-        val edges = Linker.candidateEdges(sc.select("phrase_id", "tokens"))
-        val comps = ConnectedComponents.run(edges)
-        Triples.entities(sc, comps)
+      (s: SparkSession, dir: String) =>
+        entities(s, dir)
           .select(col("phrase_id"), col("entity_id"), col("canonical"), col("is_canonical"))
-          .orderBy("phrase_id")
-      },
+          .orderBy("phrase_id"),
       None),
 
     // KG: triple materialization over leftmost_longest mentions (Scala-oracled)
@@ -615,10 +712,7 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
             lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("warc_ts"),
             col("start").cast("int").as("start"), col("end").cast("int").as("end"),
             col("phrase_id"), lit("PHRASE").as("label"))
-        val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
-        val edges = Linker.candidateEdges(sc.select("phrase_id", "tokens"))
-        val comps = ConnectedComponents.run(edges)
-        val ents = Triples.entities(sc, comps).select("phrase_id", "entity_id")
+        val ents = entities(s, dir).select("phrase_id", "entity_id")
         Triples.materialize(m, ents)
           .select("subj", "pred", "obj", "url").orderBy("subj", "pred", "obj", "url")
       },
@@ -646,9 +740,14 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
     val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = g2.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 5).select("g")
-    val cand = g2.select(col("doc_id").as("a"), col("g"))
-      .join(g2.select(col("doc_id").as("b"), col("g")), Seq("g"))
-      .join(rare, Seq("g"))
+    // CRITICAL join order: restrict postings to rare shingles BEFORE the
+    // self-join. Spark does not cost-reorder inner joins without CBO; the
+    // self-join of raw postings explodes quadratically on common bigrams
+    // ("of the" in millions of docs) whereas rare-first bounds every shingle's
+    // contribution to ≤ C(df_max, 2) pairs. Asserted in PlanSpec.
+    val g2rare = g2.join(rare, Seq("g"))
+    val cand = g2rare.select(col("doc_id").as("a"), col("g"))
+      .join(g2rare.select(col("doc_id").as("b"), col("g")), Seq("g"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val inter = cand
@@ -669,7 +768,8 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
 g2 AS (SELECT DISTINCT doc_id, g FROM sh_grams),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g2 GROUP BY 1),
 rare AS (SELECT g FROM g2 GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
-cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM g2 a JOIN g2 b USING (g) JOIN rare USING (g) WHERE a.doc_id < b.doc_id),
+g2r AS (SELECT g2.doc_id, g2.g FROM g2 JOIN rare USING (g)),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM g2r a JOIN g2r b USING (g) WHERE a.doc_id < b.doc_id),
 inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i FROM cand c JOIN g2 ga ON ga.doc_id = c.a JOIN g2 gb ON gb.doc_id = c.b AND gb.g = ga.g GROUP BY 1, 2),
 jac AS (SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)"""

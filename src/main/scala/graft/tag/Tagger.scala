@@ -24,7 +24,10 @@ object Tagger {
   final case class TagConfig(
       policy: String = "leftmost_longest", // tag-CLI default (phrasekit_tag.rs:27-29)
       maxSpans: Int = 100,
-      label: String = "PHRASE")
+      label: String = "PHRASE",
+      // true = runtime-matcher parse (policy.rs:10-19: salience_max valid, unknown
+      // fatal); false = tag-CLI parse (unknown falls through to "all")
+      strictPolicy: Boolean = false)
 
   /** Pure per-doc tagging: the reference's per-line body (phrasekit_tag.rs:146-211). */
   def tagDoc(model: TagModel, policy: Policy, maxSpans: Int, label: String)(
@@ -42,7 +45,8 @@ object Tagger {
   def tag(spark: SparkSession, docs: Dataset[Doc], model: Broadcast[TagModel],
       cfg: TagConfig = TagConfig()): Dataset[TaggedDoc] = {
     import spark.implicits._
-    val policy = Policy.fromStringTag(cfg.policy)
+    val policy =
+      if (cfg.strictPolicy) Policy.fromString(cfg.policy) else Policy.fromStringTag(cfg.policy)
     val maxSpans = cfg.maxSpans
     val label = cfg.label
     docs.mapPartitions { it =>
