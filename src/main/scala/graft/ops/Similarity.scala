@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions
 
 /**
  * Approximate-nearest-neighbor search over an embedding column (ARRAY<FLOAT>).
@@ -18,15 +19,21 @@ import org.apache.spark.sql.functions._
  *    nearest cells per query are scanned. Recall measured against the exact
  *    baseline in SimilaritySpec.
  *
- * All vector math is zip_with/aggregate column expressions in double — no UDFs.
+ * All vector math goes through `graft_vdot`, a native codegen Catalyst
+ * expression (graft.plans.VectorDot) — zip_with/aggregate lambdas evaluate
+ * INTERPRETED per element and were the round-1 bench's top cost.
  */
 object Similarity {
 
-  /** cosine(a, b) for ARRAY<FLOAT>/ARRAY<DOUBLE> columns, computed in double. */
+  /** Make graft_vdot resolvable on the session owning the current plan. */
+  private def ensureFunctions(): Unit =
+    SparkSession.getActiveSession.foreach(GraftFunctions.register)
+
+  /** cosine(a, b) for ARRAY<FLOAT>/ARRAY<DOUBLE> columns, computed in double
+   * via the codegen dot-product expression. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    ensureFunctions()
+    def dot(x: Column, y: Column) = call_function("graft_vdot", x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -47,6 +54,80 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /**
+   * Exact near-duplicate pairs within blocks: all (a, b) with a < b in the
+   * same `blockCol` group and cosine >= `threshold`, as
+   * (a BIGINT, b BIGINT, cos DOUBLE).
+   *
+   * Shape: ONE shuffle (groupByKey on the block), then per-block pairwise dot
+   * products over PRIMITIVE double arrays inside flatMapGroups — no interpreted
+   * per-element lambdas. Pairs are pruned EXACTLY with a Cauchy-Schwarz prefix
+   * bound: dot = head + tail where |tail| <= |a_tail||b_tail|, so a pair whose
+   * head(prefixDims) + tailNorm(a)·tailNorm(b) < threshold·|a||b| can be
+   * skipped without computing the remaining dimensions — no approximation, the
+   * output is bit-identical to the unpruned double math (ascending-index
+   * accumulation, cos = dot/(|a||b|), matching the DuckDB oracle).
+   *
+   * Contract: one block must fit in one task's memory (near-dup blocking keys
+   * are designed for that — label buckets, LSH bands). Blocks are still
+   * O(block²) pairs by definition of exact verification; for unblocked
+   * corpus-scale near-dup, generate candidates with the IVF/LSH paths first.
+   */
+  def blockedCosinePairs(df: DataFrame, blockCol: String, idCol: String,
+      vecCol: String, threshold: Double, prefixDims: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(blockCol).cast("string").as("blk"),
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(String, Long, Array[Double])]
+    rows.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val items = it.toArray.sortInPlaceBy(_._2)
+      val n = items.length
+      val ids = new Array[Long](n)
+      val vecs = new Array[Array[Double]](n)
+      val norm = new Array[Double](n)
+      val tailNorm = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        ids(i) = items(i)._2
+        val v = items(i)._3
+        vecs(i) = v
+        val p = math.min(prefixDims, v.length)
+        var s = 0.0; var st = 0.0; var d = 0
+        while (d < v.length) { val x = v(d) * v(d); s += x; if (d >= p) st += x; d += 1 }
+        norm(i) = math.sqrt(s)
+        tailNorm(i) = math.sqrt(st)
+        i += 1
+      }
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      i = 0
+      while (i < n) {
+        val vi = vecs(i)
+        var j = i + 1
+        while (j < n) {
+          val vj = vecs(j)
+          if (vi.length == vj.length && norm(i) > 0.0 && norm(j) > 0.0) {
+            val p = math.min(prefixDims, vi.length)
+            var head = 0.0; var d = 0
+            while (d < p) { head += vi(d) * vj(d); d += 1 }
+            val denom = norm(i) * norm(j)
+            // exact upper bound on the full dot: skip iff even the bound misses
+            if (head + tailNorm(i) * tailNorm(j) >= threshold * denom) {
+              var dot = head
+              while (d < vi.length) { dot += vi(d) * vj(d); d += 1 }
+              val cos = dot / denom
+              if (cos >= threshold) out += ((ids(i), ids(j), cos))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("a", "b", "cos")
   }
 
   final case class IvfConfig(nCells: Int = 16, lloydIter: Int = 3, nProbe: Int = 4)

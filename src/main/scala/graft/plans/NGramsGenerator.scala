@@ -87,6 +87,7 @@ case class NGramsGenerator(tokens: Expression, minN: Expression, maxN: Expressio
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.ngramsDescriptor)
+    ext.injectFunction(VectorDot.descriptor)
   }
 }
 
@@ -101,8 +102,11 @@ object GraftFunctions {
       NGramsGenerator(exprs(0), exprs(1), exprs(2))
     })
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngrams", exprs => ngramsDescriptor._3(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vdot", exprs => VectorDot.descriptor._3(exprs), "built-in")
+  }
 }

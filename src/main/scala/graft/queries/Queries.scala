@@ -585,18 +585,16 @@ reach(id, comp) AS (
 SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS component
 FROM reach GROUP BY id ORDER BY id""")),
 
-    // Embedding-cosine near-dup pairs (label-blocked exact verify)
+    // Embedding-cosine near-dup pairs (label-blocked exact verify): one
+    // shuffle on the block key, then primitive pairwise dots with an exact
+    // Cauchy-Schwarz prefix-bound prune — replaces the round-1 self-join +
+    // interpreted per-element HOF cosine (the slowest query of that round)
     ("dd_embed_cosine",
-      (s: SparkSession, dir: String) => {
-        val e = table(s, dir, "embeddings")
-        val ea = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
-        val eb = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
-        ea.join(eb, Seq("label")).filter(col("a") < col("b"))
-          .withColumn("cos", cosineCol(col("ea"), col("eb")))
-          .filter(col("cos") >= 0.3)
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity
+          .blockedCosinePairs(table(s, dir, "embeddings"), "label", "vec_id", "embedding", 0.3)
           .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
-          .orderBy("a", "b")
-      },
+          .orderBy("a", "b"),
       Some("""WITH pos AS (SELECT unnest(range(1, 65)) AS i),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b,
     sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) /
@@ -721,15 +719,11 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
 
   // ---------- similarity helpers ----------
 
-  /** cosine(a, b) over ARRAY<FLOAT> columns, computed in double — pure
-   * higher-order column expression (codegen, no UDF). */
+  /** cosine(a, b) over ARRAY<FLOAT> columns, computed in double via the
+   * native codegen graft_vdot expression (graft.plans.VectorDot). */
   private def cosineCol(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.ops.Similarity.cosine(a, b)
 
   /** (jaccard pairs DF with columns a, b, jaccard; distinct-bigram table). */
   private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

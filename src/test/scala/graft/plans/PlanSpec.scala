@@ -56,6 +56,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("MapPartitions"), p)
   }
 
+  test("jaccard candidate self-join has the rare-shingle filter below BOTH sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    val df = graft.queries.Queries.queries("dd_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    def hasRareFilter(p: LogicalPlan): Boolean = p.collectFirst {
+      case f: Filter if f.condition.toString.contains(">= 2") &&
+        f.condition.toString.contains("<= 5") => f
+    }.isDefined
+    // joins keyed solely on `g`: the two g2⋈rare restrictions + the candidate
+    // self-join. The round-1 anti-pattern was a raw-postings self-join with the
+    // rare filter ABOVE it — i.e. a join on g with the filter below NEITHER
+    // side. Assert that shape is gone, and that the self-join proper (filter
+    // below BOTH sides) exists.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    val joinsOnG = plan.collect {
+      case j: Join if j.condition.exists(_.collectFirst {
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+          if l.name == "g" && r.name == "g" => ()
+      }.isDefined) => j
+    }
+    assert(joinsOnG.nonEmpty, plan.toString)
+    joinsOnG.foreach { j =>
+      assert(hasRareFilter(j.left) || hasRareFilter(j.right),
+        s"quadratic raw-postings self-join (rare filter above, not below):\n$j")
+    }
+    assert(joinsOnG.exists(j => hasRareFilter(j.left) && hasRareFilter(j.right)),
+      s"no rare-restricted self-join found:\n$plan")
+  }
+
   test("scoring join keeps the min_domain_count filter below the join (pushdown)") {
     val dom = Seq(("a b", 10L), ("c d", 2L)).toDF("ngram", "count")
     val bg = Seq(("a b", 1L)).toDF("ngram", "count")
