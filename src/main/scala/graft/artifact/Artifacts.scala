@@ -57,6 +57,59 @@ object Vocab {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** Inverse of toJson, tolerant of the reference's pretty-printed layout
+   * (examples/demo_output/artifacts/vocab.json). Load invariants per
+   * docs/VOCABULARY.md: ids ≥ 1, separator_id present and nonzero. */
+  def fromJson(json: String): Vocab = {
+    val sep = Json.num(json, "separator_id").getOrElse(
+      throw new IllegalArgumentException("vocab.json: missing separator_id"))
+    require(sep != 0, "Invalid separator_id: must not be 0")
+    val tokensBlock = Json.obj(json, "tokens").getOrElse(
+      throw new IllegalArgumentException("vocab.json: missing tokens object"))
+    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+    val tokens = pair.findAllMatchIn(tokensBlock).map { m =>
+      Json.unescape(m.group(1)) -> m.group(2).toInt
+    }.toMap
+    require(tokens.values.forall(_ >= 1), "vocab.json: token ids must be >= 1 (<UNK> is 0)")
+    Vocab(tokens, sep)
+  }
+}
+
+/** Minimal JSON field extraction for the artifact sidecars — canonical output
+ * of our own writers plus the reference's pretty-printed variants. (No JSON
+ * library resolves offline; the schemas are fixed and flat.) */
+private[artifact] object Json {
+  def str(json: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(json).map(m => unescape(m.group(1)))
+  def num(json: String, key: String): Option[Long] =
+    ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+  def dbl(json: String, key: String): Option[Double] =
+    ("\"" + key + "\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?([eE][+-]?\\d+)?)").r
+      .findFirstMatchIn(json).map(_.group(1).toDouble)
+  def isNull(json: String, key: String): Boolean =
+    ("\"" + key + "\"\\s*:\\s*null").r.findFirstIn(json).isDefined
+  /** The {...} block of a nested object field (no deeper nesting inside). */
+  def obj(json: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(json).map(_.group(1))
+  def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 }
 
 object PayloadIO {
@@ -116,5 +169,24 @@ object Manifest {
   def toJson(m: Manifest): String = {
     def opt[T](o: Option[T]): String = o.map(_.toString).getOrElse("null")
     s"""{"version": "${m.version}", "tokenizer": "${m.tokenizer}", "num_patterns": ${m.numPatterns}, "min_count": ${opt(m.minCount)}, "salience_threshold": ${opt(m.salienceThreshold)}, "built_at": "${m.builtAt}", "separator_id": ${m.separatorId}}"""
+  }
+
+  /** Inverse of toJson; accepts the reference's pretty-printed manifest.json.
+   * Required fields + invariants mirror manifest.rs:24-41 (serde: version,
+   * tokenizer, num_patterns, built_at, separator_id required; min_count and
+   * salience_threshold optional; separator_id != 0 enforced in the ctor). */
+  def fromJson(json: String): Manifest = {
+    def req[T](o: Option[T], k: String): T =
+      o.getOrElse(throw new IllegalArgumentException(s"manifest.json: missing $k"))
+    Manifest(
+      version = req(Json.str(json, "version"), "version"),
+      tokenizer = req(Json.str(json, "tokenizer"), "tokenizer"),
+      numPatterns = req(Json.num(json, "num_patterns"), "num_patterns").toInt,
+      minCount = if (Json.isNull(json, "min_count")) None else Json.num(json, "min_count"),
+      salienceThreshold =
+        if (Json.isNull(json, "salience_threshold")) None
+        else Json.dbl(json, "salience_threshold"),
+      builtAt = req(Json.str(json, "built_at"), "built_at"),
+      separatorId = req(Json.num(json, "separator_id"), "separator_id"))
   }
 }

@@ -19,6 +19,38 @@ final case class TagModel(vocab: Vocab, trie: AhoCorasick, payloads: Array[Paylo
     s"Payload count mismatch: manifest says ${manifest.numPatterns}, got ${payloads.length}")
 }
 
+object TagModel {
+
+  /**
+   * Load an artifact bundle from disk — the serve-path inverse of
+   * `Builder.writeArtifacts`, mirroring the reference's loader
+   * (matcher.rs:35-65, lib/phrasekit.rb:21-32): vocab.json + manifest.json +
+   * payloads.bin + phrases.daac, with the reference's load invariants
+   * (payload count == num_patterns; separator_id != 0). Reads bundles built by
+   * THIS engine and by the reference itself (DaacSpec loads the committed
+   * reference demo bundle and tags with it).
+   */
+  def load(dir: String): TagModel = {
+    val d = Paths.get(dir)
+    def req(name: String): java.nio.file.Path = {
+      val p = d.resolve(name)
+      require(Files.exists(p), s"artifact bundle incomplete: missing $name in $dir")
+      p
+    }
+    val manifest = Manifest.fromJson(Files.readString(req("manifest.json")))
+    val vocab = Vocab.fromJson(Files.readString(req("vocab.json")))
+    require(vocab.separatorId == manifest.separatorId,
+      s"separator_id mismatch: vocab ${vocab.separatorId} vs manifest ${manifest.separatorId}")
+    val payloads = PayloadIO.read(Files.readAllBytes(req("payloads.bin")))
+    // matcher.rs:51-57
+    require(payloads.length == manifest.numPatterns,
+      s"Payload count mismatch: manifest says ${manifest.numPatterns}, got ${payloads.length}")
+    val patterns = Daac.decodePatterns(
+      Files.readAllBytes(req("phrases.daac")), manifest.separatorId, manifest.numPatterns)
+    TagModel(vocab, AhoCorasick.build(patterns), payloads, manifest)
+  }
+}
+
 /**
  * Build stage (SURVEY.md S3 + P6/P7/P8 + A6/A7 + O4 + S9) — Spark re-expression
  * of ext/phrasekit/src/bin/phrasekit_build.rs.
@@ -37,7 +69,11 @@ object Builder {
       tokenizer: String = "whitespace",
       separatorId: Long = Vocab.SeparatorId,
       minCount: Option[Long] = None,
-      salienceThreshold: Option[Double] = None)
+      salienceThreshold: Option[Double] = None,
+      // survivor-count tripwire for the driver collect below — a mis-configured
+      // threshold (min_count=1 on a web corpus) must fail with a diagnostic,
+      // not OOM the driver (same guard pattern as Miner.broadcastSurvivorLimit)
+      maxBroadcastPatterns: Long = 5000000L)
 
   final case class BuildStats(totalInput: Long, filteredLowCount: Long,
       filteredLowSalience: Long, duplicatePhraseIds: Long, invalidTokens: Long,
@@ -58,24 +94,24 @@ object Builder {
       col("salience").cast("float").as("salience"),
       countCol.cast("long").as("count"))
 
-    // one aggregate pass computes every stage counter (the reference counts
-    // these line by line; a count() per predicate would cost one Spark job
-    // each — fused into a single action for driver-latency reasons)
+    // stage counters ride the MAIN collect action via observe() — the
+    // reference counts these line by line in the same pass
+    // (phrasekit_build.rs:214-278); a count() per predicate would cost one
+    // Spark job each, and even the fused separate aggregate costs one. The
+    // global sort below (TakeOrderedAndProject) consumes every input row, so
+    // the observed metrics are complete despite the limit on top.
     val validPred = size(col("tokens")) > 0 && !exists(col("tokens"), t => t === lit(""))
     val countPred = cfg.minCount.map(mc => col("count") >= mc).getOrElse(lit(true))
     val salPred = cfg.salienceThreshold
       .map(st => col("salience") >= st.toFloat).getOrElse(lit(true))
-    val statsRow = base.agg(
+    val obs = org.apache.spark.sql.Observation()
+    val observed = base.observe(obs,
       count(lit(1)).as("total"),
       coalesce(sum(when(!validPred, 1L).otherwise(0L)), lit(0L)).as("invalid"),
       coalesce(sum(when(validPred && !countPred, 1L).otherwise(0L)), lit(0L)).as("lowCount"),
-      coalesce(sum(when(validPred && countPred && !salPred, 1L).otherwise(0L)), lit(0L)).as("lowSal")).head()
-    val totalInput = statsRow.getLong(0)
-    val invalidTokens = statsRow.getLong(1)
-    val filteredLowCount = statsRow.getLong(2)
-    val filteredLowSalience = statsRow.getLong(3)
+      coalesce(sum(when(validPred && countPred && !salPred, 1L).otherwise(0L)), lit(0L)).as("lowSal"))
 
-    val afterSal = base.filter(validPred && countPred && salPred)
+    val afterSal = observed.filter(validPred && countPred && salPred)
 
     // P8: duplicate phrase_id → first occurrence wins (phrasekit_build.rs:274-278).
     // "First" is file order in the reference; our inputs carry no line numbers, so
@@ -87,10 +123,22 @@ object Builder {
           .orderBy(array_join(col("tokens"), " "))))
       .filter(col("__rk") === 1).drop("__rk")
 
+    val guard = math.min(cfg.maxBroadcastPatterns, Int.MaxValue - 2L).toInt
     val rows = deduped
       .select("tokens", "phrase_id", "salience", "count")
       .orderBy(col("phrase_id")) // deterministic pattern order (payload order)
+      .limit(guard + 1)
       .collect()
+    require(rows.length <= guard,
+      s"surviving phrase table exceeds maxBroadcastPatterns=$guard — the build " +
+        "collects survivors to the driver to construct the broadcast automaton; " +
+        "raise min_count/salience_threshold (or maxBroadcastPatterns if the " +
+        "driver really has the memory)")
+    val statsMap = obs.get // ONE action total: metrics rode the collect above
+    val totalInput = statsMap("total").asInstanceOf[Long]
+    val invalidTokens = statsMap("invalid").asInstanceOf[Long]
+    val filteredLowCount = statsMap("lowCount").asInstanceOf[Long]
+    val filteredLowSalience = statsMap("lowSal").asInstanceOf[Long]
     val built = rows.length.toLong
     val duplicates = (totalInput - invalidTokens - filteredLowCount - filteredLowSalience) - built
 
@@ -121,13 +169,18 @@ object Builder {
         invalidTokens, built))
   }
 
-  /** S9: write vocab.json / payloads.bin / manifest.json (byte-exact payload
-   * layout for fixture parity; the .daac automaton is replaced by the broadcast trie). */
+  /** S9: write the full artifact bundle — payloads.bin (byte-exact 17-byte
+   * records), vocab.json, manifest.json, and phrases.daac (daachorse-layout
+   * double-array automaton; see graft.artifact.Daac). `TagModel.load` is the
+   * inverse. The pattern byte strings for the automaton are re-derived from
+   * the payload order: pattern i = the i-th payload's token sequence. */
   def writeArtifacts(model: TagModel, dir: String): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     Files.write(d.resolve("payloads.bin"), PayloadIO.write(model.payloads.toIndexedSeq))
     Files.writeString(d.resolve("vocab.json"), Vocab.toJson(model.vocab))
     Files.writeString(d.resolve("manifest.json"), Manifest.toJson(model.manifest))
+    Files.write(d.resolve("phrases.daac"),
+      Daac.encodePatterns(model.trie.patterns, model.manifest.separatorId))
   }
 }

@@ -63,11 +63,23 @@ final class LakeTable(spark: SparkSession, val root: String) {
   /** Atomically commit `df` split by `partitionCol`, skipping partitions already
    * committed for `stage`. Returns the new snapshot (or None if nothing to do).
    * The `compute` work for skipped partitions is never executed: the partition
-   * pruning happens in the plan (filter pushdown on partitionCol). */
+   * pruning happens in the plan (filter pushdown on partitionCol).
+   *
+   * Null partition values are REJECTED up front (they would land in
+   * __HIVE_DEFAULT_PARTITION__ and break value-keyed resume); partition
+   * entries are derived from the directories Spark ACTUALLY wrote — their
+   * names are Hive-escaped (space/':'/'/' → %xx), so reconstructing them as
+   * raw `__part=$v` would silently drop those partitions from the snapshot.
+   * A missing expected directory fails the commit loudly instead. Per-
+   * partition row counts come from ONE read-back aggregation job, not one
+   * count() job per partition. */
   def resumableWrite(df: DataFrame, partitionCol: String, stage: String): Option[Snapshot] = {
     val done = committedPartitions(stage).keySet
-    val allVals = df.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val allValRows = df.select(col(partitionCol).cast("string")).distinct().collect()
+    require(!allValRows.exists(_.isNullAt(0)),
+      s"null value in partition column '$partitionCol' — the snapshot log keys " +
+        "resume on partition VALUES; filter nulls out or fill them before writing")
+    val allVals = allValRows.map(_.getString(0)).sorted
     val todo = allVals.filterNot(done)
     if (todo.isEmpty) return None
 
@@ -78,17 +90,43 @@ final class LakeTable(spark: SparkSession, val root: String) {
       .withColumn("__part", col(partitionCol).cast("string"))
     pending.write.mode("overwrite").partitionBy("__part").parquet(commitDir.toString)
 
-    // per-partition lineage + metrics from the files just written
+    // one job: per-partition row counts from the files just written (Spark
+    // unescapes __part on read, so counts are keyed by the original value)
+    val counts = spark.read.parquet(commitDir.toString)
+      .groupBy(col("__part").cast("string").as("p")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val writtenDirs = Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__part="))
+      .map(p => unescapePathName(p.getFileName.toString.stripPrefix("__part=")) -> p)
+      .toMap
     val entries = todo.map { v =>
-      val p = commitDir.resolve(s"__part=$v")
-      val rows =
-        if (Files.exists(p)) spark.read.parquet(p.toString).count() else 0L
-      PartitionEntry(v, p.toString, rows)
-    }.filter(e => Files.exists(Paths.get(e.path)))
+      val dir = writtenDirs.getOrElse(v, throw new IllegalStateException(
+        s"partition dir for value '$v' missing under $commitDir — refusing to " +
+          "publish a snapshot that would silently drop it"))
+      val rows = counts.getOrElse(v, throw new IllegalStateException(
+        s"no rows read back for partition '$v' under $commitDir"))
+      PartitionEntry(v, dir.toString, rows)
+    }
 
     val snap = Snapshot(version, stage, partitionCol, entries.toIndexedSeq)
     publish(snap)
     Some(snap)
+  }
+
+  /** Inverse of Hive's path-name escaping (%xx for reserved chars). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Atomic publish: write to tmp, move into the log with ATOMIC_MOVE. */

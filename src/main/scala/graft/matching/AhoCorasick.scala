@@ -32,7 +32,11 @@ final class AhoCorasick private (
     private val fail: Array[Int],
     private val patternAt: Array[Int],   // pattern index terminating at state, or -1
     private val outputLink: Array[Int],  // nearest proper-suffix state with a pattern, or -1
-    val patternLengths: Array[Int])
+    val patternLengths: Array[Int],
+    /** token-id patterns by dense value — retained so the artifact sink can
+     * serialize the automaton (Daac.encodePatterns); the reference's .daac
+     * file likewise carries the full pattern byte strings */
+    val patterns: Array[Array[Int]])
   extends Serializable {
 
   def numPatterns: Int = patternLengths.length
@@ -151,6 +155,6 @@ object AhoCorasick {
       s += 1
     }
     new AhoCorasick(n, offsets, eTok, eTgt, fail, patAt.toArray, outLink,
-      patterns.map(_.length))
+      patterns.map(_.length), patterns)
   }
 }

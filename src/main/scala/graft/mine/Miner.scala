@@ -154,11 +154,40 @@ object Miner {
    * @param docs any DataFrame with an ARRAY<STRING> column `tokensCol`
    * @return DataFrame(ngram STRING, tokens ARRAY<STRING>, count BIGINT)
    */
-  def mine(docs: DataFrame, tokensCol: String, cfg: MineConfig = MineConfig()): DataFrame = {
+  def mine(docs: DataFrame, tokensCol: String, cfg: MineConfig = MineConfig()): DataFrame =
+    mineWithStats(docs, tokensCol, cfg)._1
+
+  /**
+   * As `mine`, plus an A3 stats handle whose doc/token/extraction counters
+   * ride pass 1 via observe() — zero additional jobs (the reference emits
+   * them in the same pass, phrasekit_mine.rs:117-123). The extracted-gram
+   * count is pure per-doc arithmetic (Σ_n max(L-n+1, 0)), not a generator.
+   * `ngramsAfterFilter` is free on the broadcast path (survivor array length);
+   * on the rare shuffle-join fallback the handle counts the output lazily.
+   */
+  def mineWithStats(docs: DataFrame, tokensCol: String,
+      cfg: MineConfig = MineConfig()): (DataFrame, () => MiningStats) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toksDs = docs.select(col(tokensCol)).as[Seq[String]]
     val (minN, maxN) = (cfg.minN, cfg.maxN)
+    val obs = org.apache.spark.sql.Observation()
+    val t = col(tokensCol)
+    // Σ_{n=minN..min(maxN,L)} (L-n+1), closed form — plain codegen arithmetic,
+    // no per-row higher-order function in the mine hot path
+    val kTop = least(lit(maxN), size(t))
+    // Column `/` is double division; the numerator is always even and far
+    // below 2^52 per doc, so divide-then-cast is exact
+    val extractedPerDoc = when(kTop >= minN,
+      (((kTop - minN + 1).cast("long") * (size(t) + 1).cast("long") * 2L -
+        (lit(minN) + kTop).cast("long") * (kTop - minN + 1).cast("long")) / 2L)
+        .cast("long"))
+      .otherwise(lit(0L))
+    val toksDs = docs.select(t)
+      .observe(obs,
+        count(lit(1)).as("docs"),
+        coalesce(sum(size(t)), lit(0L)).as("toks"),
+        coalesce(sum(extractedPerDoc), lit(0L)).as("extracted"))
+      .as[Seq[String]]
 
     // pass 1: count gram hashes — per-partition unboxed combiner, then a
     // global sum over the (distinct-per-partition) combined pairs. Longs
@@ -265,7 +294,17 @@ object Miner {
           .withColumn("tokens", split(col("ngram"), " "))
           .select("ngram", "tokens", "count")
       }
-    if (cfg.ordered) counted.orderBy(col("count").desc, col("ngram").asc) else counted
+    val afterFilter: () => Long =
+      if (collected.length <= guard) { val n = collected.length.toLong; () => n }
+      else () => survivors.count() // rare fallback: survivor table exceeded guard
+    val result =
+      if (cfg.ordered) counted.orderBy(col("count").desc, col("ngram").asc) else counted
+    val statsFn = () => MiningStats(
+      obs.get("docs").asInstanceOf[Long],
+      obs.get("toks").asInstanceOf[Long],
+      obs.get("extracted").asInstanceOf[Long],
+      afterFilter())
+    (result, statsFn)
   }
 
   /** Mining stats (SURVEY.md A3), one aggregate pass. */

@@ -22,11 +22,15 @@ object Ids {
     val pidCol = "__graft_pid"
     val rnCol = "__graft_rn"
     val offCol = "__graft_off"
+    // materialize the INPUT once: repartitionByRange SAMPLES its child for
+    // range boundaries — a second full pass that would double-count any
+    // upstream observe() metrics (and recompute expensive lineage)
+    val src = df.localCheckpoint()
     // localCheckpoint (not persist) so the two consumers below see identical
     // (sampled) range boundaries AND the blocks are reclaimed automatically
     // when the dataset is GC'd — a bare persist() here leaked cache across
     // queries for the lifetime of the session
-    val parted = df
+    val parted = src
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn(pidCol, spark_partition_id())

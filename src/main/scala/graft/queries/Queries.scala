@@ -320,6 +320,27 @@ FROM m ORDER BY doc_id""")),
   lower(substr(hex(encode(text)), 1, 8)) AS header
 FROM documents ORDER BY doc_id""")),
 
+    // JSONL source (reference ingestion format): documents round-tripped
+    // through a JSONL twin and read back with the PERMISSIVE reader
+    // (skip-and-count malformed, the mine/score semantics —
+    // phrasekit_mine.rs:132-138; FAILFAST tag semantics tested in JsonlSpec)
+    ("src_jsonl_docs",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.types._
+        val twin = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-jsonl-twin-${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+        table(s, dir, "documents").select("doc_id", "text", "lang")
+          .write.mode("overwrite").json(twin)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType), StructField("lang", StringType)))
+        val (docs, _) = graft.sources.Jsonl.readPermissive(s, twin, schema, Seq("doc_id", "text"))
+        docs.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id""")),
+
     // Classic: TPC-H Q1-style aggregate (pushdown + partial agg)
     ("q1_agg_lineitem",
       (s: SparkSession, dir: String) =>

@@ -39,6 +39,13 @@ object Scorer {
     require(Set("ratio", "pmi", "tfidf")(method), s"Invalid method: $method")
   }
 
+  /** A4: scoring-stage counters (phrasekit_score.rs:56-62's ScoringStats +
+   * the A2 totals). All ride existing actions via observe() — reading the
+   * stats costs ZERO additional Spark jobs (asserted in ScorerSpec). */
+  final case class ScoringStats(domainPhrases: Long, backgroundPhrases: Long,
+      afterDomainFilter: Long, afterSalienceFilter: Long,
+      totalDomainCount: Long, totalBackgroundCount: Long)
+
   /**
    * @param domain     DataFrame(ngram STRING, count BIGINT) — mined domain n-grams
    * @param background DataFrame(ngram STRING, count BIGINT)
@@ -46,7 +53,17 @@ object Scorer {
    *         domain_count, background_count) sorted by (salience desc, ngram asc)
    */
   def score(domain: DataFrame, background: DataFrame,
-      cfg: ScoreConfig = ScoreConfig()): DataFrame = {
+      cfg: ScoreConfig = ScoreConfig()): DataFrame =
+    scoreWithStats(domain, background, cfg)._1
+
+  /**
+   * As `score`, plus a stats handle. domain/background counts fire with the
+   * internal totals action; afterDomainFilter/afterSalienceFilter ride the
+   * phrase-id assignment (or, without ids, the CALLER's first action over the
+   * result — read the handle only after one).
+   */
+  def scoreWithStats(domain: DataFrame, background: DataFrame,
+      cfg: ScoreConfig = ScoreConfig()): (DataFrame, () => ScoringStats) = {
     // lowercase-normalize keys like load_phrases (phrasekit_score.rs:159); inputs
     // from our Miner are already lowercase, but external JSONL inputs may not be.
     // Duplicate keys collapse via max(count) (the reference's HashMap semantics are
@@ -57,9 +74,12 @@ object Scorer {
       .groupBy("ngram").agg(max("count").as("count"))
 
     // both sides feed two consumers (totals + join) — persist the normalized
-    // form so upstream mining isn't recomputed per action
-    val dom = norm(domain).persist()
-    val bg = norm(background).persist()
+    // form so upstream mining isn't recomputed per action. The observe()
+    // nodes sit below the persist: counters fire once, on materialization.
+    val obsDom = org.apache.spark.sql.Observation()
+    val obsBg = org.apache.spark.sql.Observation()
+    val dom = norm(domain).observe(obsDom, count(lit(1)).as("n")).persist()
+    val bg = norm(background).observe(obsBg, count(lit(1)).as("n")).persist()
 
     // A2: corpus totals over ALL loaded phrases (before any filter),
     // phrasekit_score.rs:180-181. One union-of-aggregates action: both sides
@@ -70,8 +90,10 @@ object Scorer {
     val totalDomain = totalsRows.find(_.getString(1) == "d").get.getLong(0)
     val totalBackground = totalsRows.find(_.getString(1) == "b").get.getLong(0)
 
+    val obsFiltered = org.apache.spark.sql.Observation()
     val joined = dom
       .filter(col("count") >= cfg.minDomainCount) // P4, before the join
+      .observe(obsFiltered, count(lit(1)).as("n"))
       .join(bg.withColumnRenamed("count", "background_count"), Seq("ngram"), "left_outer")
       .na.fill(0L, Seq("background_count"))
       .withColumnRenamed("count", "domain_count")
@@ -98,20 +120,28 @@ object Scorer {
           .cast(out)
     }
 
+    val obsScored = org.apache.spark.sql.Observation()
     val scored = joined
       .withColumn("salience", salience)
       .filter(col("salience") >= lit(cfg.minSalience)) // P5, float domain
+      .observe(obsScored, count(lit(1)).as("n"))
       .withColumn("tokens", split(col("ngram"), " "))
       .select("ngram", "tokens", "salience", "domain_count", "background_count")
 
-    if (cfg.assignPhraseIds) {
-      Ids.assignSequential(scored,
-          Seq(col("salience").desc, col("ngram").asc),
-          cfg.startingPhraseId, "phrase_id")
-        .select("ngram", "tokens", "salience", "phrase_id", "domain_count", "background_count")
-        .orderBy(col("salience").desc, col("ngram").asc)
-    } else {
-      scored.orderBy(col("salience").desc, col("ngram").asc)
-    }
+    val result =
+      if (cfg.assignPhraseIds) {
+        Ids.assignSequential(scored,
+            Seq(col("salience").desc, col("ngram").asc),
+            cfg.startingPhraseId, "phrase_id")
+          .select("ngram", "tokens", "salience", "phrase_id", "domain_count", "background_count")
+          .orderBy(col("salience").desc, col("ngram").asc)
+      } else {
+        scored.orderBy(col("salience").desc, col("ngram").asc)
+      }
+    val stats = () => ScoringStats(
+      obsDom.get("n").asInstanceOf[Long], obsBg.get("n").asInstanceOf[Long],
+      obsFiltered.get("n").asInstanceOf[Long], obsScored.get("n").asInstanceOf[Long],
+      totalDomain, totalBackground)
+    (result, stats)
   }
 }

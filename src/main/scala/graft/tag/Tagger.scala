@@ -101,3 +101,67 @@ object Matcher {
       policy: String = "leftmost_longest", max: Int = 32): IndexedSeq[MatchResult] =
     matchTokens(model, model.vocab.encodeAll(tokens), policy, max)
 }
+
+/**
+ * Stateful matcher service — the operational surface of the reference's
+ * `PhraseKit::NativeMatcher` (ext/phrasekit/src/lib.rs:26-104): load/hot-reload
+ * an artifact bundle, match, `stats`, `healthcheck`. The reference guards the
+ * slot with a RwLock; an AtomicReference gives the same swap-under-readers
+ * hot-reload semantics (lib.rs:26-34) without blocking matchers.
+ */
+final class MatcherService {
+  import Matcher.MatchResult
+
+  private val slot =
+    new java.util.concurrent.atomic.AtomicReference[Option[(graft.artifact.TagModel, Long)]](None)
+  private val hits = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Load a bundle from disk (lib.rs:26-34 / matcher.rs:35-65). */
+  def load(dir: String): Unit = reload(graft.artifact.TagModel.load(dir))
+
+  /** Hot reload: swap the model; in-flight matches finish on the old one. */
+  def reload(model: graft.artifact.TagModel): Unit =
+    slot.set(Some((model, System.currentTimeMillis())))
+
+  private def current: (graft.artifact.TagModel, Long) =
+    slot.get.getOrElse(throw new IllegalStateException("Matcher not loaded"))
+
+  def matchTokens(tokenIds: Array[Int], policy: String = "leftmost_longest",
+      max: Int = 32): IndexedSeq[MatchResult] = {
+    val r = Matcher.matchTokens(current._1, tokenIds, policy, max)
+    hits.addAndGet(r.length.toLong)
+    r
+  }
+
+  def matchTextTokens(tokens: Seq[String], policy: String = "leftmost_longest",
+      max: Int = 32): IndexedSeq[MatchResult] = {
+    val r = Matcher.matchTextTokens(current._1, tokens, policy, max)
+    hits.addAndGet(r.length.toLong)
+    r
+  }
+
+  /** Stats fields per lib.rs:61-88 / matcher.rs:128-151. The reference stubs
+   * hits_total and the latency percentiles to zero (matcher.rs:144-150); we
+   * report REAL hits_total (documented improvement) and keep the percentile
+   * fields stubbed at 0 like the reference. */
+  final case class Stats(version: String, loadedAtMs: Long, numPatterns: Int,
+      heapMb: Double, hitsTotal: Long, p50Us: Long, p95Us: Long, p99Us: Long)
+
+  def stats: Stats = {
+    val (m, loadedAt) = current
+    Stats(m.manifest.version, loadedAt, m.payloads.length, heapMb(m),
+      hits.get(), 0L, 0L, 0L)
+  }
+
+  /** Trie + payload heap estimate, the analogue of matcher.rs:121-126. */
+  private def heapMb(m: graft.artifact.TagModel): Double = {
+    val trieBytes = m.trie.patterns.iterator.map(p => 4L * p.length + 16L).sum +
+      12L * m.trie.numStates
+    val payloadBytes = 16L * m.payloads.length
+    val vocabBytes = m.vocab.tokens.iterator.map { case (t, _) => 2L * t.length + 40L }.sum
+    (trieBytes + payloadBytes + vocabBytes).toDouble / 1048576.0
+  }
+
+  /** Throws "Matcher not loaded" when empty, true otherwise (lib.rs:90-96). */
+  def healthcheck(): Boolean = { current; true }
+}

@@ -1,0 +1,90 @@
+package graft.artifact
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSuite
+import graft.tag.Matcher
+
+/**
+ * Artifact bundle disk loader (SURVEY.md S5/S6 read path): phrases.daac
+ * decode pinned against the COMMITTED reference bundle, full-bundle load +
+ * tag from reference-built artifacts, and write→load round-trip.
+ */
+class DaacSpec extends SparkSuite {
+
+  private val refDir = "/root/reference/examples/demo_output/artifacts"
+
+  test("decode the committed reference phrases.daac: exactly the 7 demo patterns") {
+    val manifest = Manifest.fromJson(Files.readString(Paths.get(s"$refDir/manifest.json")))
+    val vocab = Vocab.fromJson(Files.readString(Paths.get(s"$refDir/vocab.json")))
+    assert(manifest.numPatterns == 7 && manifest.separatorId == 4294967294L)
+    assert(vocab.tokens == Map("assay" -> 1, "buffer" -> 2, "cdk10" -> 3, "master" -> 4,
+      "mix" -> 5, "oligo" -> 6, "protein" -> 7, "rat" -> 8))
+    val patterns = Daac.decodePatterns(
+      Files.readAllBytes(Paths.get(s"$refDir/phrases.daac")), manifest.separatorId, 7)
+    val rev = vocab.tokens.map(_.swap)
+    val got = patterns.map(_.map(rev).mkString(" ")).toSet
+    assert(got == Set("rat cdk10", "rat cdk10 oligo", "cdk10 oligo", "protein assay",
+      "assay buffer", "protein assay buffer", "master mix"))
+    // pattern value i indexes payload record i: payload n == token count
+    val payloads = PayloadIO.read(Files.readAllBytes(Paths.get(s"$refDir/payloads.bin")))
+    patterns.zipWithIndex.foreach { case (p, i) => assert(payloads(i).n.toInt == p.length) }
+  }
+
+  test("TagModel.load on the reference bundle: online matching works end-to-end") {
+    val model = TagModel.load(refDir)
+    assert(model.manifest.version == "demo-v1")
+    assert(model.payloads.length == 7)
+    val ms = Matcher.matchTextTokens(model, Seq("the", "rat", "cdk10", "oligo", "was"))
+    assert(ms.map(m => (m.start, m.end)) == Seq((1, 4))) // leftmost_longest trigram
+    val all = Matcher.matchTextTokens(model,
+      Seq("protein", "assay", "buffer"), policy = "leftmost_first")
+    assert(all.map(m => (m.start, m.end)) == Seq((0, 2))) // shortest-at-start wins
+  }
+
+  test("write → load round-trip preserves the model") {
+    val dir = Files.createTempDirectory("graft-artifacts").toString
+    val model = TagModel.load(refDir) // any model; reference-derived is the richest
+    Builder.writeArtifacts(model, dir)
+    assert(Files.exists(Paths.get(s"$dir/phrases.daac")))
+    val back = TagModel.load(dir)
+    assert(back.vocab == model.vocab)
+    assert(back.manifest == model.manifest)
+    assert(back.payloads.toSeq == model.payloads.toSeq)
+    assert(back.trie.patterns.map(_.toSeq).toSeq == model.trie.patterns.map(_.toSeq).toSeq)
+    // behavioral parity
+    val toks = Seq("the", "master", "mix", "contains", "rat", "cdk10", "oligo")
+    assert(Matcher.matchTextTokens(back, toks) == Matcher.matchTextTokens(model, toks))
+  }
+
+  test("encode/decode property: multi-byte ids, shared prefixes, suffix patterns") {
+    val sep = 4294967294L
+    val patterns: Array[Array[Int]] = Array(
+      Array(1), Array(1, 2), Array(2, 3, 4), Array(3, 4), Array(4),
+      Array(70000), Array(70000, 1 << 20), Array(1 << 20),
+      Array(255, 256, 257), Array(65535, 65536))
+    val bytes = Daac.encodePatterns(patterns, sep)
+    val back = Daac.decodePatterns(bytes, sep, patterns.length)
+    assert(back.map(_.toSeq).toSeq == patterns.map(_.toSeq).toSeq)
+  }
+
+  test("load invariants fail loudly: payload count mismatch, bad separator, missing file") {
+    val dir = Files.createTempDirectory("graft-bad-artifacts").toString
+    def cp(n: String) = Files.copy(Paths.get(s"$refDir/$n"), Paths.get(s"$dir/$n"))
+    cp("vocab.json"); cp("manifest.json"); cp("phrases.daac")
+    // missing payloads.bin
+    val e1 = intercept[IllegalArgumentException](TagModel.load(dir))
+    assert(e1.getMessage.contains("payloads.bin"))
+    // truncated payloads → count mismatch (matcher.rs:51-57 wording)
+    Files.write(Paths.get(s"$dir/payloads.bin"),
+      PayloadIO.write(PayloadIO.read(
+        Files.readAllBytes(Paths.get(s"$refDir/payloads.bin"))).take(3).toIndexedSeq))
+    val e2 = intercept[IllegalArgumentException](TagModel.load(dir))
+    assert(e2.getMessage.contains("Payload count mismatch"))
+    // separator 0 rejected
+    val m = Files.readString(Paths.get(s"$refDir/manifest.json"))
+    Files.writeString(Paths.get(s"$dir/manifest.json"),
+      m.replace("4294967294", "0"))
+    val e3 = intercept[IllegalArgumentException](TagModel.load(dir))
+    assert(e3.getMessage.toLowerCase.contains("separator"))
+  }
+}

@@ -83,4 +83,26 @@ class MinerSpec extends SparkSuite {
       .as[(String, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("A3 mining stats ride pass 1 via observe(): correct, no extra jobs to read") {
+    val cfg = Miner.MineConfig(2, 3, 1)
+    val (mined, stats) = Miner.mineWithStats(corpus, "tokens", cfg)
+    val rows = mined.count() // caller's action (pass 1 already ran inside mine)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val st = stats()
+      Thread.sleep(500) // listener events are async
+      assert(jobs == 0, "reading MiningStats must not launch Spark jobs")
+      assert(st.totalDocs == 4)
+      assert(st.totalTokens == 6 + 3 + 3 + 0)
+      // Σ_n∈{2,3} max(L-n+1, 0): d1(6)=5+4, d2(3)=2+1, d3(3)=2+1, d4(0)=0
+      assert(st.totalNgramsExtracted == 9 + 3 + 3)
+      assert(st.ngramsAfterFilter == rows)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

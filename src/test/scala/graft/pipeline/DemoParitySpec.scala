@@ -140,6 +140,32 @@ class DemoParitySpec extends SparkSuite {
     assert(math.abs(st.avgSpansPerDoc - 0.7) < 1e-9)
   }
 
+  test("build guard: oversized survivor table throws a diagnostic, not an OOM") {
+    val e = intercept[IllegalArgumentException](
+      Builder.build(scored.withColumnRenamed("domain_count", "count"),
+        Builder.BuildConfig(maxBroadcastPatterns = 3)))
+    assert(e.getMessage.contains("maxBroadcastPatterns"))
+  }
+
+  test("A6 build stats ride the single collect (exactly one SQL execution)") {
+    scored.count() // materialize the input's internal actions first
+    var execs = 0
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = execs += 1
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    Thread.sleep(500) // listener events are async
+    spark.listenerManager.register(l)
+    try {
+      val (_, st) = Builder.build(scored.withColumnRenamed("domain_count", "count"))
+      Thread.sleep(500) // listener events are async
+      assert(execs == 1, s"build ran $execs SQL executions, expected 1")
+      assert(st.totalInput == 7 && st.built == 7 && st.invalidTokens == 0)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("mining stats + min_count monotonicity (spec/miner_spec.rb:76-99)") {
     val st = Miner.stats(corpus.toDF(), "tokens", mined, Miner.MineConfig(2, 5, 2))
     assert(st.totalDocs == 10)

@@ -96,4 +96,27 @@ class ScorerSpec extends SparkSuite {
   test("invalid method rejected (phrasekit_score.rs:95-97)") {
     assertThrows[IllegalArgumentException](Scorer.ScoreConfig(method = "bogus"))
   }
+
+  test("A4 scoring stats ride existing actions: correct values, zero extra jobs") {
+    val (out, stats) = Scorer.scoreWithStats(domain, background, cfg)
+    val scored = out.collect()
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val st = stats()
+      Thread.sleep(500) // listener events are async
+      assert(jobs == 0, "reading ScoringStats must not launch Spark jobs")
+      assert(st.domainPhrases == 14)
+      assert(st.backgroundPhrases == 19)
+      assert(st.afterDomainFilter == domain.filter(col("count") >= cfg.minDomainCount).count())
+      assert(st.afterSalienceFilter == scored.length.toLong)
+      assert(st.totalDomainCount == 37L) // Σ domain counts (A2, pre-filter)
+      assert(st.totalBackgroundCount ==
+        background.agg(sum("count")).head.getLong(0))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
