@@ -121,6 +121,8 @@ object Bench {
     val efficiency = sThr8 / (4.0 * sThr2)
     val efficiency8to32 = thr32 / (4.0 * thr8)
     val hwCeiling = cpuCeiling()
+    val bw2to8 = memBwCeiling(2, 8)
+    val bw8to32 = memBwCeiling(8, 32)
 
     // per-query timings at the driver-provided core count
     val spark = session(cpus)
@@ -134,7 +136,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"triples":$trip32,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_efficiency_8_to_32_single_job":${f"$efficiency8to32%.3f"},"pure_cpu_ceiling_8_to_32":${f"$hwCeiling%.3f"}},"queries_total_sec":${f"$total%.1f"}}""")
+      s"""{"metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"triples":$trip32,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_efficiency_8_to_32_single_job":${f"$efficiency8to32%.3f"},"pure_cpu_ceiling_8_to_32":${f"$hwCeiling%.3f"},"mem_bw_ceiling_2_to_8":${f"$bw2to8%.3f"},"mem_bw_ceiling_8_to_32":${f"$bw8to32%.3f"}},"queries_total_sec":${f"$total%.1f"}}""")
     spark.stop()
   }
 
@@ -166,6 +168,41 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       concurrency * nDocs / wall
     } finally spark.stop()
+  }
+
+  /** Memory-bandwidth control: how much of an ideal (n2/n1)× this VM's
+   * n1→n2 threads deliver for a purely BANDWIDTH-bound loop — each task
+   * streams a private 64 MB long array (far beyond LLC), so scaling is
+   * limited only by the shared memory bus. The pipeline's string-heavy
+   * stages land between this floor and the pure-CPU ceiling; on a real
+   * N→4N EXECUTOR cluster every executor brings its own memory bus, so the
+   * bus does not dilute with N the way local threads do. */
+  private def memBwCeiling(n1: Int, n2: Int): Double = {
+    def timed(cores: Int): Double = {
+      val s = session(cores)
+      try {
+        val rdd = s.sparkContext.parallelize(1 to 64, 64).mapPartitions { it =>
+          val arr = Array.tabulate(8 << 20)(i => i.toLong) // 64 MB per task
+          it.map { _ =>
+            var acc = 0L
+            var k = 0
+            while (k < 12) {
+              var i = 0
+              while (i < arr.length) { acc ^= arr(i); i += 1 }
+              k += 1
+            }
+            acc.toDouble
+          }
+        }
+        rdd.sum() // warm (JIT + page-in)
+        val t0 = System.nanoTime()
+        rdd.sum()
+        (System.nanoTime() - t0) / 1e9
+      } finally s.stop()
+    }
+    val t1 = timed(n1)
+    val t2 = timed(n2)
+    t1 / ((n2.toDouble / n1) * t2)
   }
 
   /** Hardware control: how much of an ideal 4× this VM's 8→32 threads deliver

@@ -94,7 +94,7 @@ object Queries {
    * 10-19) — the tag-CLI parse would fall through to "all" — so it is tagged
    * with strictPolicy. */
   def mentions(s: SparkSession, dir: String, policy: String,
-      lax: Boolean = false): DataFrame = {
+      lax: Boolean = false): DataFrame = cached(s"mentions|$policy|$lax|$dir") {
     import s.implicits._
     val model = tagModel(s, dir, lax)
     val bc = s.sparkContext.broadcast(model)
@@ -110,6 +110,59 @@ object Queries {
         .select(col("phrase_id").cast("int").as("phrase_id"), col("ngram")), Seq("phrase_id"))
       .select("doc_id", "start", "end", "ngram")
   }
+
+  /** Exact-edge entity table (phrase_id, entity_id, canonical, is_canonical):
+   * ALL-PAIRS token-set Jaccard >= 0.5 (no LSH blocking) → CC →
+   * canonicalization. Oracle-checkable end-to-end in SQL — this pins the
+   * canonicalization/CC SEMANTICS exactly; the production `entities` path is
+   * identical except candidate generation goes through the (hash-based, thus
+   * not SQL-reproducible) MinHash-LSH blocking at threshold 0.8. The exact
+   * variant uses 0.5 — the boundary is a dyadic rational (exact in both
+   * engines) and at test scale it produces a genuine transitive 3-member
+   * component ("window window" bridges two j=0.5 neighbors that are only
+   * j=1/3 to each other), so the CC closure and F4 canonical pick are
+   * actually exercised, not vacuously singleton. Pair generation is bounded
+   * by the shared-token join over the phrase table (phrase-scale, not
+   * corpus-scale). */
+  def exactEntities(s: SparkSession, dir: String): DataFrame = cached(s"exactEnts|$dir") {
+    val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
+    val p = sc.select(col("phrase_id").cast("long").as("pid"),
+      array_distinct(col("tokens")).as("toks"))
+    val tok = p.select(col("pid"), explode(col("toks")).as("tok"))
+    val sizes = tok.groupBy("pid").agg(count(lit(1)).as("sz"))
+    val inter = tok.select(col("pid").as("src"), col("tok"))
+      .join(tok.select(col("pid").as("dst"), col("tok")), Seq("tok"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("i"))
+    val edges = inter
+      .join(sizes.select(col("pid").as("src"), col("sz").as("sa")), "src")
+      .join(sizes.select(col("pid").as("dst"), col("sz").as("sb")), "dst")
+      .filter(col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")).cast("double") >= 0.5)
+      .select("src", "dst")
+    val comps = ConnectedComponents.run(edges)
+    Triples.entities(sc, comps)
+  }
+
+  /** DuckDB CTE chain ending in `rk` (phrase_id=pid, entity_id, ngram, f4, rk)
+   * — mirrors exactEntities: ids → token sets → all-pairs Jaccard ≥ 0.8 →
+   * recursive-closure CC → F4 canonical ranking. Must be prefixed WITH RECURSIVE. */
+  private def exactEntitiesSql: String =
+    s"""${scoredSql("ratio", "1.5")},
+sp AS (SELECT CAST(999 + row_number() OVER (ORDER BY salience DESC, ngram) AS BIGINT) AS pid, ngram, salience, domain_count FROM scored),
+ptok AS (SELECT DISTINCT pid, unnest(string_split(ngram, ' ')) AS tok FROM sp),
+psz AS (SELECT pid, count(*) AS sz FROM ptok GROUP BY 1),
+pinter AS (SELECT a.pid AS src, b.pid AS dst, count(*) AS i FROM ptok a JOIN ptok b USING (tok) WHERE a.pid < b.pid GROUP BY 1, 2),
+pe AS (SELECT src, dst FROM pinter JOIN psz sa ON sa.pid = src JOIN psz sb ON sb.pid = dst
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+psym AS (SELECT src AS a, dst AS b FROM pe UNION SELECT dst, src FROM pe),
+pverts AS (SELECT DISTINCT a AS id FROM psym),
+preach(id, comp) AS (SELECT id, id FROM pverts UNION SELECT s.b, r.comp FROM preach r JOIN psym s ON s.a = r.id),
+pcc AS (SELECT id, min(comp) AS component FROM preach GROUP BY id),
+pent AS (SELECT sp.pid AS phrase_id, CAST(coalesce(pcc.component, sp.pid) AS BIGINT) AS entity_id, sp.ngram,
+  CAST(CAST(sp.salience AS REAL) AS DOUBLE) * ln(sp.domain_count + 1.0) AS f4
+  FROM sp LEFT JOIN pcc ON pcc.id = sp.pid),
+rk AS (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY f4 DESC, ngram ASC) AS rk FROM pent)"""
 
   /** Cached entity table (phrase_id, entity_id, canonical, is_canonical):
    * LSH candidate edges → connected components → canonicalization. Computed
@@ -132,6 +185,24 @@ mt AS (SELECT g.doc_id, CAST(g.pos - 1 AS BIGINT) AS s, CAST(g.pos - 1 + g.n AS 
   FROM tg_grams g JOIN scored p ON g.g = p.ngram)"""
   }
   private def matchesSql = matchesSqlFor(false)
+
+  /** mt (all matches) + sel (leftmost_longest-resolved spans) CTEs for the
+   * STRICT phrase set; assumes the scoredSql("ratio","1.5") chain is already
+   * in scope (e.g. via exactEntitiesSql) — does NOT re-emit it. */
+  private def w1SelSql: String =
+    s"""${gramsSql("tg", "WHERE lang = 'en'", Seq(2, 3))},
+mt AS (SELECT g.doc_id, CAST(g.pos - 1 AS BIGINT) AS s, CAST(g.pos - 1 + g.n AS BIGINT) AS e, g.g AS ngram
+  FROM tg_grams g JOIN scored p ON g.g = p.ngram),
+sel(doc_id, s, e) AS (
+  SELECT doc_id, s, e FROM (
+    SELECT doc_id, s, e, row_number() OVER (PARTITION BY doc_id ORDER BY s ASC, e DESC) AS rn FROM mt
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT nxt.doc_id, nxt.s, nxt.e FROM sel, LATERAL (
+    SELECT doc_id, s, e FROM mt WHERE mt.doc_id = sel.doc_id AND mt.s >= sel.e
+    ORDER BY s ASC, e DESC LIMIT 1
+  ) nxt
+)"""
 
   // ---------- shared SQL fragments ----------
 
@@ -319,6 +390,40 @@ FROM m ORDER BY doc_id""")),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   lower(substr(hex(encode(text)), 1, 8)) AS header
 FROM documents ORDER BY doc_id""")),
+
+    // PMI + left/right branching entropy (AutoPhrase-style phrase-quality
+    // filter, mine.Entropy) over the mined domain candidates — full oracle:
+    // PMI = (ln c + (n-1) ln T - Σ ln c(wi)) / ln 2; H = ln S - Σ c ln c / S
+    // over the (n+1)-gram extension distribution per side; filter
+    // pmi >= 1.0 AND max(left, right) >= 0.5
+    ("en_entropy",
+      (s: SparkSession, dir: String) => {
+        val docs = toks(s, dir, Some(true))
+        graft.mine.Entropy.filterCandidates(docs, "t", domain(s, dir), 2, 3)
+          .select(col("ngram"), round(col("pmi"), 6).as("pmi"),
+            round(col("left_entropy"), 6).as("left_entropy"),
+            round(col("right_entropy"), 6).as("right_entropy"))
+          .orderBy("ngram")
+      },
+      Some(s"""WITH $domainSql,
+${gramsSql("u1", "WHERE lang = 'en'", Seq(1))},
+uni AS (SELECT g AS tok, CAST(count(*) AS BIGINT) AS uc FROM u1_grams GROUP BY 1),
+tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS t FROM uni),
+${gramsSql("ex", "WHERE lang = 'en'", Seq(3, 4))},
+extc AS (SELECT string_split(g, ' ') AS tk, CAST(count(*) AS DOUBLE) AS cd FROM ex_grams GROUP BY g),
+pm AS (SELECT d.ngram,
+    (ln(CAST(d.count AS DOUBLE)) + (len(string_split(d.ngram, ' ')) - 1) * ln(tot.t) - st.sl) / ln(2.0) AS pmi
+  FROM dom d, tot,
+  LATERAL (SELECT sum(ln(CAST(u.uc AS DOUBLE))) AS sl
+           FROM (SELECT unnest(string_split(d.ngram, ' ')) AS tok) dt JOIN uni u ON u.tok = dt.tok) st),
+re AS (SELECT array_to_string(tk[1:len(tk)-1], ' ') AS ngram,
+    ln(sum(cd)) - sum(cd * ln(cd)) / sum(cd) AS h FROM extc GROUP BY 1),
+le AS (SELECT array_to_string(tk[2:len(tk)], ' ') AS ngram,
+    ln(sum(cd)) - sum(cd * ln(cd)) / sum(cd) AS h FROM extc GROUP BY 1),
+outq AS (SELECT d.ngram, p.pmi, coalesce(l.h, 0.0) AS le, coalesce(r.h, 0.0) AS re
+  FROM dom d JOIN pm p USING (ngram) LEFT JOIN le l USING (ngram) LEFT JOIN re r USING (ngram))
+SELECT ngram, round(pmi, 6) AS pmi, round(le, 6) AS left_entropy, round(re, 6) AS right_entropy
+FROM outq WHERE pmi >= 1.0 AND greatest(le, re) >= 0.5 ORDER BY ngram""")),
 
     // JSONL source (reference ingestion format): documents round-tripped
     // through a JSONL twin and read back with the PERMISSIVE reader
@@ -735,7 +840,54 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
         Triples.materialize(m, ents)
           .select("subj", "pred", "obj", "url").orderBy("subj", "pred", "obj", "url")
       },
-      None)
+      None),
+
+    // KG: entity canonicalization with a FULL DuckDB oracle — exact all-pairs
+    // Jaccard edges instead of LSH blocking (hash-based candidate generation
+    // is not SQL-reproducible; everything downstream — CC, entity ids, F4
+    // canonical ranking, tie-breaks — is identical to the production path)
+    ("kg_canon",
+      (s: SparkSession, dir: String) =>
+        exactEntities(s, dir)
+          .select(col("phrase_id"), col("entity_id"), col("canonical"), col("is_canonical"))
+          .orderBy("phrase_id"),
+      Some(s"""WITH RECURSIVE $exactEntitiesSql
+SELECT r.phrase_id, r.entity_id, c.ngram AS canonical, (r.rk = 1) AS is_canonical
+FROM rk r JOIN rk c ON c.entity_id = r.entity_id AND c.rk = 1
+ORDER BY r.phrase_id""")),
+
+    // KG: triple materialization with a FULL DuckDB oracle — leftmost_longest
+    // mentions × exact-edge entities → per-mention triples + capped
+    // co-occurrence pairs (the kg_triples shape, SQL-checkable end-to-end)
+    ("kg_cooccur",
+      (s: SparkSession, dir: String) => {
+        val m = mentions(s, dir, "leftmost_longest")
+          .join(scored(s, dir, "ratio", 1.5f, assignIds = true)
+            .select(col("ngram"), col("phrase_id")), Seq("ngram"))
+          .select(concat(lit("doc://"), col("doc_id")).as("url"),
+            lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("warc_ts"),
+            col("start").cast("int").as("start"), col("end").cast("int").as("end"),
+            col("phrase_id"), lit("PHRASE").as("label"))
+        val ents = exactEntities(s, dir).select("phrase_id", "entity_id")
+        Triples.materialize(m, ents)
+          .select("subj", "pred", "obj", "url").orderBy("subj", "pred", "obj", "url")
+      },
+      Some(s"""WITH RECURSIVE $exactEntitiesSql,
+${w1SelSql},
+rm AS (SELECT sel.doc_id, sel.s, mt.ngram FROM sel JOIN mt ON mt.doc_id = sel.doc_id AND mt.s = sel.s AND mt.e = sel.e),
+ment AS (SELECT 'doc://' || CAST(rm.doc_id AS VARCHAR) AS url, rm.s AS s, e.entity_id AS eid
+  FROM rm JOIN sp ON sp.ngram = rm.ngram JOIN pent e ON e.phrase_id = sp.pid),
+mtrip AS (SELECT url AS subj, 'mentions' AS pred, 'entity:' || CAST(eid AS VARCHAR) AS obj, url FROM ment),
+startents AS (SELECT DISTINCT url, s, eid FROM ment),
+capped AS (SELECT url, eid FROM (
+    SELECT url, eid, row_number() OVER (PARTITION BY url ORDER BY s, eid) AS rn FROM startents
+  ) WHERE rn <= 64),
+eids AS (SELECT DISTINCT url, eid FROM capped),
+co AS (SELECT 'entity:' || CAST(a.eid AS VARCHAR) AS subj, 'co_occurs' AS pred,
+    'entity:' || CAST(b.eid AS VARCHAR) AS obj, a.url AS url
+  FROM eids a JOIN eids b ON a.url = b.url AND a.eid < b.eid)
+SELECT subj, pred, obj, url FROM (SELECT * FROM mtrip UNION ALL SELECT * FROM co)
+ORDER BY subj, pred, obj, url""")),
   )
 
   // ---------- similarity helpers ----------
