@@ -29,9 +29,25 @@ object Extract {
     (TemplatePrefix + escapeHtml(text) + TemplateSuffix)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  private def ensureFunctions(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+
   /** Column expression: html BINARY → extracted text STRING.
-   * Inverse of wrapHtml: strip template, unescape entities (reverse order of escape). */
+   * Inverse of wrapHtml: strip template (greedy first-`<p>`-to-last-`</p>`),
+   * unescape entities. Routed through the SINGLE-PASS native expression
+   * (plans.ExtractTextExpr) — the regex formulation below re-streams every
+   * byte ~5× (decode + greedy extract + 3 global replaces), and the bench
+   * showed the pipeline memory-bandwidth-bound. Byte equivalence with the
+   * regex chain is pinned in TextExprsSpec. */
   def extractText(html: Column): Column = {
+    ensureFunctions()
+    call_function("graft_extract_text", html)
+  }
+
+  /** The original multi-pass regex formulation — kept as the equivalence
+   * oracle for ExtractTextExpr. */
+  def extractTextRegex(html: Column): Column = {
     val body = regexp_extract(decode(html, "UTF-8"), "(?s)<p>(.*)</p>", 1)
     regexp_replace(
       regexp_replace(
@@ -42,7 +58,16 @@ object Extract {
 
   /** Column expression: text STRING → ARRAY<STRING> of lowercase whitespace tokens,
    * empties dropped (the reference's "whitespace" tokenizer + the lowercase
-   * normalization it applies at every stage, SURVEY.md P1). */
-  def tokenize(text: Column): Column =
+   * normalization it applies at every stage, SURVEY.md P1). Single-pass
+   * native expression (plans.TokenizeExpr): one toLowerCase, one
+   * whitespace scan, zero-copy token slices. */
+  def tokenize(text: Column): Column = {
+    ensureFunctions()
+    call_function("graft_tokenize", text)
+  }
+
+  /** The original lower+regex-split+filter formulation — kept as the
+   * equivalence oracle for TokenizeExpr. */
+  def tokenizeColumns(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 }

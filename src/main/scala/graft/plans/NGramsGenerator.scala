@@ -88,6 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.ngramsDescriptor)
     ext.injectFunction(VectorDot.descriptor)
+    ext.injectFunction(TextExprs.extractDescriptor)
+    ext.injectFunction(TextExprs.tokenizeDescriptor)
   }
 }
 
@@ -108,5 +110,9 @@ object GraftFunctions {
       "ngrams", exprs => ngramsDescriptor._3(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vdot", exprs => VectorDot.descriptor._3(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_extract_text", exprs => TextExprs.extractDescriptor._3(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokenize", exprs => TextExprs.tokenizeDescriptor._3(exprs), "built-in")
   }
 }
