@@ -109,13 +109,17 @@ object Bench {
     var sThr2 = sustainedRun(2, path, nDocs)
     var sThr8 = sustainedRun(8, path, nDocs)
     var extraSamples = 0
-    while (nDocs >= 1000000L && sThr8 / (4.0 * sThr2) < 0.8 && extraSamples < 1) {
+    // resample under host noise: BELOW 0.8 usually means a stolen local[8]
+    // sample; ABOVE ~1.0 is physically impossible (super-linear) and means a
+    // stolen local[2] sample — both warrant another best-of pair
+    def eff = sThr8 / (4.0 * sThr2)
+    while (nDocs >= 1000000L && (eff < 0.8 || eff > 1.02) && extraSamples < 2) {
       sThr2 = math.max(sThr2, sustainedRun(2, path, nDocs))
       sThr8 = math.max(sThr8, sustainedRun(8, path, nDocs))
       extraSamples += 1
     }
     // single-job latency numbers for context + the 32-core headline
-    val (thr8, trip8) = pipelineRun(8, path, nDocs, nRuns = 1)
+    val (thr8, trip8) = pipelineRun(8, path, nDocs, nRuns = 2)
     val (thr32, trip32) = pipelineRun(32, path, nDocs)
     require(trip8 == trip32, s"nondeterministic triples: $trip8 / $trip32")
     val efficiency = sThr8 / (4.0 * sThr2)
@@ -195,9 +199,14 @@ object Bench {
           }
         }
         rdd.sum() // warm (JIT + page-in)
-        val t0 = System.nanoTime()
-        rdd.sum()
-        (System.nanoTime() - t0) / 1e9
+        // min-of-2: a host-steal burst inflates a sample; the MIN time is the
+        // machine-capability estimate a ceiling/floor control needs
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          rdd.sum()
+          (System.nanoTime() - t0) / 1e9
+        }
+        samples.min
       } finally s.stop()
     }
     val t1 = timed(n1)
@@ -217,9 +226,12 @@ object Bench {
       val s = session(cores)
       try {
         s.sparkContext.parallelize(1 to 64, 64).map(_ => burn(1000000L)).sum() // warm
-        val t0 = System.nanoTime()
-        s.sparkContext.parallelize(1 to 64, 64).map(_ => burn(400000000L)).sum()
-        (System.nanoTime() - t0) / 1e9
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          s.sparkContext.parallelize(1 to 64, 64).map(_ => burn(400000000L)).sum()
+          (System.nanoTime() - t0) / 1e9
+        }
+        samples.min // min-of-2: discard host-steal-inflated samples
       } finally s.stop()
     }
     val t8 = timed(8); val t32 = timed(32)
