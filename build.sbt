@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fixed, level-independent GC parallelism: the scaling bench compares
+  // local[2] vs local[8] sessions inside ONE JVM — by default the GC uses
+  // all 32 host threads, handing the small-N phase free parallelism the
+  // task-slot cap doesn't govern and skewing the efficiency ratio
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
 )

@@ -58,6 +58,50 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming tag == batch tag: the zero-shuffle broadcast stage is stream-native") {
+    import graft.corpus.Extract
+    import graft.model.Doc
+    import graft.tag.Tagger
+    // bounded corpus dir (en docs only, as the tag stage consumes)
+    val docsDir = Files.createTempDirectory("graft-docs-stream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang") === "en")
+    docs.repartition(4).write.mode("overwrite").parquet(docsDir)
+    // model built batch-side (mine → score → build), broadcast once
+    val toks = docs.select(col("doc_id"), Extract.tokenize(col("text")).as("t"))
+    val mined = graft.mine.Miner.mine(toks, "t",
+      graft.mine.Miner.MineConfig(2, 3, 5, ordered = false))
+    val scored = graft.score.Scorer.score(mined.select("ngram", "count"),
+      mined.select("ngram", "count").limit(0), // empty background
+      graft.score.Scorer.ScoreConfig("ratio", 1.0f, 5, assignPhraseIds = true, 1000))
+    val model = graft.artifact.Builder.build(
+      scored.withColumnRenamed("domain_count", "count"))._1
+    val bc = spark.sparkContext.broadcast(model)
+
+    def toDocs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("string").as("docId"),
+        Extract.tokenize(col("text")).as("tokens")).as[Doc]
+    // streaming side: readStream → tag (mapPartitions) → memory sink
+    val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    val taggedStream = Tagger.tag(spark, toDocs(stream), bc)
+    val q = taggedStream.toDF()
+      .select(col("docId"), explode(col("spans")).as("sp"))
+      .select(col("docId"), col("sp.start"), col("sp.end"), col("sp.phraseId"))
+      .writeStream.format("memory").queryName("tag_stream_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tag_stream_out")
+      .as[(String, Int, Int, Int)].collect().toSet
+    // batch side: identical code path on the same files
+    val batch = Tagger.tag(spark, toDocs(spark.read.parquet(docsDir)), bc).toDF()
+      .select(col("docId"), explode(col("spans")).as("sp"))
+      .select(col("docId"), col("sp.start"), col("sp.end"), col("sp.phraseId"))
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("mapGroupsWithState accumulates per-user totals") {
     val ev = spark.read.parquet(eventsDir)
       .select(col("user_id"), col("event_type"), col("value"))
