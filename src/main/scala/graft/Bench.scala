@@ -149,8 +149,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"triples":$trip32,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_efficiency_8_to_32_single_job":${f"$efficiency8to32%.3f"},"pure_cpu_ceiling_8_to_32":${f"$hwCeiling%.3f"},"mem_bw_ceiling_2_to_8":${f"$bw2to8%.3f"},"mem_bw_ceiling_8_to_32":${f"$bw8to32%.3f"}},"queries_total_sec":${f"$total%.1f"}}""")
+    val json =
+      s"""{"metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"triples":$trip32,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_efficiency_8_to_32_single_job":${f"$efficiency8to32%.3f"},"pure_cpu_ceiling_8_to_32":${f"$hwCeiling%.3f"},"mem_bw_ceiling_2_to_8":${f"$bw2to8%.3f"},"mem_bw_ceiling_8_to_32":${f"$bw8to32%.3f"}},"queries_total_sec":${f"$total%.1f"}}"""
+    println(json)
+    // also land the line in a file: sbt's logger wrapping made round 2's
+    // BENCH json unparseable from stdout alone (VERDICT r2 #5)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 

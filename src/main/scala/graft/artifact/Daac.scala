@@ -148,6 +148,19 @@ object Daac {
    * globally UNIQUE base values, and vacant-slot check bytes chosen so no real
    * state can falsely address a vacant slot — the two invariants the format's
    * `check(child) == byte` validation relies on.
+   *
+   * Interop caveat: the format was reverse-engineered from the committed
+   * reference demo bundle and is validated by round-trip (encode→decode) plus
+   * field-by-field decode of that reference artifact; loading a GRAFT-written
+   * `.daac` in the upstream Rust daachorse crate is untested in this offline
+   * sandbox (no Rust toolchain). The encode assumes: root check byte
+   * arbitrary-but-nonmatching, vacant slots fail=0, statesLen = power-of-two
+   * capacity — all consistent with the decoded reference bundle.
+   *
+   * The packed `fc` word stores outputPos+1 in its upper 24 bits, which bounds
+   * the output table at 2^24-1 entries (~16.7M distinct pattern suffix
+   * states); enforced below rather than silently overflowing into the check
+   * byte.
    */
   def encodePatterns(patterns: Array[Array[Int]], separatorId: Long): Array[Byte] = {
     require(patterns.nonEmpty, "no patterns")
@@ -262,6 +275,10 @@ object Daac {
         } else outPosPlus1(u) = inherited
       }
     }
+    // outputPos+1 is packed into fc's upper 24 bits — past this it would
+    // silently corrupt the check byte
+    require(outEntries.length < (1 << 24) - 1,
+      s"daac output table overflow: ${outEntries.length} entries >= 2^24-1")
 
     // vacant-slot check sanitation: pick a check byte no real base can address
     val baseArr = usedBases.toArray

@@ -36,6 +36,17 @@ import org.apache.spark.unsafe.types.UTF8String
  * against the regex chain, including adversarial `&amp;lt;` nestings).
  * Operating on raw UTF-8 bytes is safe: all matched bytes are ASCII, and
  * multi-byte sequences never contain ASCII values.
+ *
+ * INPUT CONTRACT: `html` must be valid UTF-8. The regex-chain oracle
+ * sanitizes invalid bytes to U+FFFD during `decode(html,'UTF-8')`, while
+ * this expression copies body-span bytes verbatim — on malformed input the
+ * two DIVERGE and the native path propagates the invalid bytes downstream
+ * (pinned in TextExprsSpec "malformed UTF-8"). The pipeline's inputs are
+ * valid by construction (Synth corpus; WARC extraction upstream of this
+ * engine re-encodes to UTF-8); verbatim copy is the deliberate choice
+ * because byte-identity per url is the north-rule invariant — sanitizing
+ * would break `extract(html) === text` whenever the stored text carries the
+ * original bytes.
  */
 case class ExtractTextExpr(child: Expression) extends UnaryExpression with CodegenFallback {
 

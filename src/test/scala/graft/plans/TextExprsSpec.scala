@@ -47,6 +47,22 @@ class TextExprsSpec extends SparkSuite {
     assert(got.exists(_.nonEmpty))
   }
 
+  test("malformed UTF-8: body bytes are copied verbatim (documented contract)") {
+    // 0xC3 alone is a truncated 2-byte sequence; 0xFF is never valid UTF-8.
+    // The regex-chain oracle would sanitize both to U+FFFD at decode time;
+    // the native expression's contract (TextExprs scaladoc) is verbatim copy,
+    // preserving the north-rule byte-identity invariant. Pin that the output
+    // bytes equal the input body bytes exactly.
+    val body = Array[Byte]('a', 0xC3.toByte, 'b', 0xFF.toByte, 'c')
+    val html = ("<p>".getBytes("UTF-8") ++ body ++ "</p>".getBytes("UTF-8"))
+    val df = Seq(Tuple1(html)).toDF("html")
+    // cast(string→binary) returns the UTF8String's raw bytes verbatim
+    // (encode() would round-trip through java.lang.String and sanitize)
+    val out = df.select(Extract.extractText(col("html")).cast("binary").as("b"))
+      .as[Array[Byte]].head()
+    assert(out.toSeq == body.toSeq)
+  }
+
   test("extract+tokenize plan contains no regex operators (single-pass path)") {
     val pages = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(encode(col("text"), "UTF-8").as("html"))
