@@ -87,4 +87,36 @@ object Linker {
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select("src", "dst", "jaccard")
   }
+
+  /**
+   * Exact ALL-PAIRS Jaccard edges at `threshold` via a shared-token join —
+   * the validation twin of `candidateEdges`. Pair generation is bounded by
+   * token co-occurrence (O(Σ_tok df(tok)²)), not by LSH bucketing: correct on
+   * phrase-scale tables, NOT a corpus-scale plan. Two uses: the SQL-oracled
+   * exact entity path (kg_canon/kg_cooccur), and the LSH recall gate — KgSpec
+   * pins `candidateEdges ⊆ exactEdges` (precision 1.0, guaranteed by the
+   * exact verify) and recall == 1.0 at the entity threshold, so an LSH
+   * regression that silently drops candidate pairs fails the suite rather
+   * than nudging a row count.
+   *
+   * @param phrases DataFrame(phrase_id, tokens ARRAY<STRING>)
+   * @return edges DataFrame(src BIGINT, dst BIGINT, jaccard DOUBLE), src < dst
+   */
+  def exactEdges(phrases: DataFrame, threshold: Double): DataFrame = {
+    val p = phrases.select(col("phrase_id").cast("long").as("pid"),
+      array_distinct(col("tokens")).as("toks"))
+    val tok = p.select(col("pid"), explode(col("toks")).as("tok"))
+    val sizes = tok.groupBy("pid").agg(count(lit(1)).as("sz"))
+    val inter = tok.select(col("pid").as("src"), col("tok"))
+      .join(tok.select(col("pid").as("dst"), col("tok")), Seq("tok"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("pid").as("src"), col("sz").as("sa")), "src")
+      .join(sizes.select(col("pid").as("dst"), col("sz").as("sb")), "dst")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("src", "dst", "jaccard")
+  }
 }

@@ -126,35 +126,30 @@ object Queries {
    * corpus-scale). */
   def exactEntities(s: SparkSession, dir: String): DataFrame = cached(s"exactEnts|$dir") {
     val sc = scored(s, dir, "ratio", 1.5f, assignIds = true)
-    val p = sc.select(col("phrase_id").cast("long").as("pid"),
-      array_distinct(col("tokens")).as("toks"))
-    val tok = p.select(col("pid"), explode(col("toks")).as("tok"))
-    val sizes = tok.groupBy("pid").agg(count(lit(1)).as("sz"))
-    val inter = tok.select(col("pid").as("src"), col("tok"))
-      .join(tok.select(col("pid").as("dst"), col("tok")), Seq("tok"))
-      .filter(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("i"))
-    val edges = inter
-      .join(sizes.select(col("pid").as("src"), col("sz").as("sa")), "src")
-      .join(sizes.select(col("pid").as("dst"), col("sz").as("sb")), "dst")
-      .filter(col("i").cast("double") /
-        (col("sa") + col("sb") - col("i")).cast("double") >= 0.5)
+    val edges = Linker.exactEdges(sc.select("phrase_id", "tokens"), 0.5)
       .select("src", "dst")
     val comps = ConnectedComponents.run(edges)
     Triples.entities(sc, comps)
   }
 
   /** DuckDB CTE chain ending in `rk` (phrase_id=pid, entity_id, ngram, f4, rk)
-   * — mirrors exactEntities: ids → token sets → all-pairs Jaccard ≥ 0.8 →
-   * recursive-closure CC → F4 canonical ranking. Must be prefixed WITH RECURSIVE. */
-  private def exactEntitiesSql: String =
+   * — mirrors exactEntities: ids → token sets → all-pairs Jaccard ≥ threshold →
+   * recursive-closure CC → F4 canonical ranking. Must be prefixed WITH
+   * RECURSIVE. At threshold 0.5 this oracles the exact path (kg_canon /
+   * kg_cooccur); at 0.8 — the production LSH threshold — it ALSO oracles the
+   * LSH path (kg_entities / kg_triples), because for ≤3-token sets j ≥ 0.8
+   * forces j = 1.0 (identical sets), identical sets have identical minhash
+   * signatures, and identical signatures always share every LSH bucket — so
+   * LSH recall is structurally 1.0 there (pinned empirically in KgSpec's
+   * recall gate, which also covers the 4+-token general case). */
+  private def exactEntitiesSql(threshold: String = "0.5"): String =
     s"""${scoredSql("ratio", "1.5")},
 sp AS (SELECT CAST(999 + row_number() OVER (ORDER BY salience DESC, ngram) AS BIGINT) AS pid, ngram, salience, domain_count FROM scored),
 ptok AS (SELECT DISTINCT pid, unnest(string_split(ngram, ' ')) AS tok FROM sp),
 psz AS (SELECT pid, count(*) AS sz FROM ptok GROUP BY 1),
 pinter AS (SELECT a.pid AS src, b.pid AS dst, count(*) AS i FROM ptok a JOIN ptok b USING (tok) WHERE a.pid < b.pid GROUP BY 1, 2),
 pe AS (SELECT src, dst FROM pinter JOIN psz sa ON sa.pid = src JOIN psz sb ON sb.pid = dst
-  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $threshold),
 psym AS (SELECT src AS a, dst AS b FROM pe UNION SELECT dst, src FROM pe),
 pverts AS (SELECT DISTINCT a AS id FROM psym),
 preach(id, comp) AS (SELECT id, id FROM pverts UNION SELECT s.b, r.comp FROM preach r JOIN psym s ON s.a = r.id),
@@ -802,31 +797,54 @@ pt AS (SELECT doc_id, i, t[i] AS tok FROM t, LATERAL (SELECT unnest(range(1, len
 SELECT doc_id, CAST(sum(i * (1 + strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)) AS BIGINT) AS fingerprint
 FROM pt GROUP BY doc_id ORDER BY doc_id""")),
 
-    // IVF ANN (the ANN scale path; brute-force ann_topk above is the oracle-
-    // checked baseline; IVF recall-vs-exact is pinned in SimilaritySpec)
+    // IVF ANN, driven in its EXHAUSTIVE configuration (nProbe = nCells): every
+    // cell is probed, so the result is provably exact and shares the
+    // brute-force oracle — this gives the IVF machinery (seeded centroids,
+    // Lloyd refinement, cell assignment, probe routing, per-cell top-k) a
+    // hash-checked driver row. The APPROXIMATE configuration (nProbe <
+    // nCells, the 100-TB scale path) is inherently un-SQL-able and is pinned
+    // in SimilarityPlansSpec: recall-vs-exact ≥ threshold + nProbe=nCells ≡
+    // brute force.
     ("ann_ivf",
       (s: SparkSession, dir: String) => {
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") < 8)
-        val cfg = graft.ops.Similarity.IvfConfig(nCells = 16, lloydIter = 2, nProbe = 4)
+        val cfg = graft.ops.Similarity.IvfConfig(nCells = 16, lloydIter = 2, nProbe = 16)
         val idx = graft.ops.Similarity.ivfIndex(e, "vec_id", "embedding", cfg)
         graft.ops.Similarity.ivfTopK(idx, q, "vec_id", "embedding", 3, cfg)
           .select(col("query_id"), col("neighbor_id"), round(col("cos"), 3).as("cos"))
           .orderBy("query_id", "neighbor_id")
       },
-      None),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+pos AS (SELECT unnest(range(1, 65)) AS i),
+dots AS (SELECT q.qid, e.vec_id,
+    sum(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+    (sqrt(sum(CAST(qe[i] AS DOUBLE)**2)) * sqrt(sum(CAST(embedding[i] AS DOUBLE)**2))) AS cos
+  FROM q, embeddings e, pos WHERE e.vec_id <> q.qid GROUP BY 1, 2)
+SELECT qid AS query_id, vec_id AS neighbor_id, round(cos, 3) AS cos FROM dots
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 3
+ORDER BY query_id, neighbor_id""")),
 
-    // KG: entity canonicalization over the scored phrase graph (Scala-oracled in
-    // KgSpec; rows-only check here — CC/LSH semantics not SQL-expressible at
-    // this composition depth)
+    // KG: entity canonicalization through the PRODUCTION path — MinHash-LSH
+    // candidate blocking (threshold 0.8) → CC → canonicalize. Oracled by the
+    // exact all-pairs twin at the SAME threshold: hash-based LSH candidate
+    // generation is not SQL-reproducible, but its OUTPUT is — recall at 0.8
+    // is structurally 1.0 for ≤3-token phrase sets (see exactEntitiesSql
+    // scaladoc) and gated in KgSpec, so LSH edges == exact edges and the CC/
+    // canonicalization downstream hash-matches the exact SQL.
     ("kg_entities",
       (s: SparkSession, dir: String) =>
         entities(s, dir)
           .select(col("phrase_id"), col("entity_id"), col("canonical"), col("is_canonical"))
           .orderBy("phrase_id"),
-      None),
+      Some(s"""WITH RECURSIVE ${exactEntitiesSql("0.8")}
+SELECT r.phrase_id, r.entity_id, c.ngram AS canonical, (r.rk = 1) AS is_canonical
+FROM rk r JOIN rk c ON c.entity_id = r.entity_id AND c.rk = 1
+ORDER BY r.phrase_id""")),
 
-    // KG: triple materialization over leftmost_longest mentions (Scala-oracled)
+    // KG: triple materialization over leftmost_longest mentions through the
+    // production LSH entity table — same exact-twin oracle trick as
+    // kg_entities (threshold-0.8 entity CTE), full SQL end-to-end
     ("kg_triples",
       (s: SparkSession, dir: String) => {
         val m = mentions(s, dir, "leftmost_longest")
@@ -840,7 +858,22 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
         Triples.materialize(m, ents)
           .select("subj", "pred", "obj", "url").orderBy("subj", "pred", "obj", "url")
       },
-      None),
+      Some(s"""WITH RECURSIVE ${exactEntitiesSql("0.8")},
+${w1SelSql},
+rm AS (SELECT sel.doc_id, sel.s, mt.ngram FROM sel JOIN mt ON mt.doc_id = sel.doc_id AND mt.s = sel.s AND mt.e = sel.e),
+ment AS (SELECT 'doc://' || CAST(rm.doc_id AS VARCHAR) AS url, rm.s AS s, e.entity_id AS eid
+  FROM rm JOIN sp ON sp.ngram = rm.ngram JOIN pent e ON e.phrase_id = sp.pid),
+mtrip AS (SELECT url AS subj, 'mentions' AS pred, 'entity:' || CAST(eid AS VARCHAR) AS obj, url FROM ment),
+startents AS (SELECT DISTINCT url, s, eid FROM ment),
+capped AS (SELECT url, eid FROM (
+    SELECT url, eid, row_number() OVER (PARTITION BY url ORDER BY s, eid) AS rn FROM startents
+  ) WHERE rn <= 64),
+eids AS (SELECT DISTINCT url, eid FROM capped),
+co AS (SELECT 'entity:' || CAST(a.eid AS VARCHAR) AS subj, 'co_occurs' AS pred,
+    'entity:' || CAST(b.eid AS VARCHAR) AS obj, a.url AS url
+  FROM eids a JOIN eids b ON a.url = b.url AND a.eid < b.eid)
+SELECT subj, pred, obj, url FROM (SELECT * FROM mtrip UNION ALL SELECT * FROM co)
+ORDER BY subj, pred, obj, url""")),
 
     // KG: entity canonicalization with a FULL DuckDB oracle — exact all-pairs
     // Jaccard edges instead of LSH blocking (hash-based candidate generation
@@ -851,7 +884,7 @@ FROM pt GROUP BY doc_id ORDER BY doc_id""")),
         exactEntities(s, dir)
           .select(col("phrase_id"), col("entity_id"), col("canonical"), col("is_canonical"))
           .orderBy("phrase_id"),
-      Some(s"""WITH RECURSIVE $exactEntitiesSql
+      Some(s"""WITH RECURSIVE ${exactEntitiesSql()}
 SELECT r.phrase_id, r.entity_id, c.ngram AS canonical, (r.rk = 1) AS is_canonical
 FROM rk r JOIN rk c ON c.entity_id = r.entity_id AND c.rk = 1
 ORDER BY r.phrase_id""")),
@@ -872,7 +905,7 @@ ORDER BY r.phrase_id""")),
         Triples.materialize(m, ents)
           .select("subj", "pred", "obj", "url").orderBy("subj", "pred", "obj", "url")
       },
-      Some(s"""WITH RECURSIVE $exactEntitiesSql,
+      Some(s"""WITH RECURSIVE ${exactEntitiesSql()},
 ${w1SelSql},
 rm AS (SELECT sel.doc_id, sel.s, mt.ngram FROM sel JOIN mt ON mt.doc_id = sel.doc_id AND mt.s = sel.s AND mt.e = sel.e),
 ment AS (SELECT 'doc://' || CAST(rm.doc_id AS VARCHAR) AS url, rm.s AS s, e.entity_id AS eid

@@ -46,6 +46,65 @@ class KgSpec extends SparkSuite {
     assert(!edges.keySet.exists { case (a, b) => (a <= 3) != (b <= 3) }) // no cross-cluster edges
   }
 
+  test("LSH gate: edges ⊆ exact twin, recall 1.0, identical entity table (driver-input twin)") {
+    // Same phrase table the kg_entities driver query links (sf0.001). The
+    // kg_entities oracle SQL is the exact all-pairs chain at threshold 0.8 —
+    // valid only while LSH recall is 1.0 there; this test is the gate that
+    // fails (rather than silently nudging a row count) if an LSH change drops
+    // candidate pairs.
+    // The lax thresholds (the w2 driver configuration) yield a phrase set
+    // that actually CONTAINS ≥0.8 pairs at sf0.001; the strict set there has
+    // none (vacuous gate). Non-vacuity is asserted below.
+    val sc = graft.queries.Queries
+      .scored(spark, "/root/testdata/sf0.001", "ratio", 1.0f, assignIds = true,
+        minDomainCount = 5)
+    val phr = sc.select("phrase_id", "tokens")
+    val lsh = Linker.candidateEdges(phr).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val exact = Linker.exactEdges(phr, 0.8).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "twin has no edges — gate is vacuous")
+    assert(lsh.subsetOf(exact), s"LSH precision < 1: ${lsh.diff(exact).take(5)}")
+    assert(exact.subsetOf(lsh), s"LSH recall < 1: missing ${exact.diff(lsh).take(5)}")
+    // downstream identity: the full entity tables agree row-for-row
+    val eLsh = Triples.entities(sc, ConnectedComponents.run(
+        Linker.candidateEdges(phr).select("src", "dst")))
+      .select("phrase_id", "entity_id", "canonical", "is_canonical")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    val eExact = Triples.entities(sc, ConnectedComponents.run(
+        Linker.exactEdges(phr, 0.8).select("src", "dst")))
+      .select("phrase_id", "entity_id", "canonical", "is_canonical")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(eLsh == eExact)
+  }
+
+  test("LSH components refine exact components when recall < 1 (4+-token sets)") {
+    // 4-5-token sets where j ∈ [0.8, 1) exists, so the default 2×8-band LSH
+    // can genuinely miss pairs (P(candidate | j=0.8) ≈ 0.31). The invariant
+    // that must survive ANY recall: every LSH edge is a true ≥0.8 edge, hence
+    // every LSH component is contained in one exact component.
+    val phrases = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d")),      // j(1,2) = 4/5
+      (3L, Seq("a", "b", "c", "e")),      // j(1,3) = 4/5; j(2,3) = 3/5
+      (4L, Seq("x", "y", "z", "w")),
+      (5L, Seq("x", "y", "z", "w", "v"))  // j(4,5) = 4/5
+    ).toDF("phrase_id", "tokens")
+    val lsh = Linker.candidateEdges(phrases).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val exact = Linker.exactEdges(phrases, 0.8).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    assert(lsh.subsetOf(exact)) // precision 1.0 regardless of banding luck
+    val lshComp = ConnectedComponents.run(lsh.toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val exComp = ConnectedComponents.run(exact.toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // refinement: ids sharing an LSH component share the exact component
+    for ((a, ca) <- lshComp; (b, cb) <- lshComp if ca == cb)
+      assert(exComp(a) == exComp(b), s"$a/$b merged by LSH but split by exact")
+  }
+
   test("extract(html) === text byte-identical over the full synthetic corpus (input_hint invariant)") {
     val pages = Synth.corpus(spark, 2000)
     val bad = pages.toDF()
