@@ -46,7 +46,13 @@ object Triples {
       mentionPred: String = "mentions",
       cooccurPred: String = "co_occurs",
       maxEntitiesPerDoc: Int = 64, // caps the quadratic co-occurrence blowup
-      saltBuckets: Int = 16)
+      saltBuckets: Int = 16,
+      // entity-map rows above which the mention⋈entity join falls back from
+      // broadcast to a shuffle join (mirrors Miner.broadcastSurvivorLimit):
+      // phrase-derived entity maps are phrase-scale and broadcast fine, but a
+      // 100 TB corpus can plausibly grow 10⁸⁺ entities, which would OOM every
+      // executor as a broadcast. ~10M rows ≈ a few hundred MB hashed relation.
+      broadcastEntityLimit: Long = 10000000L)
 
   /**
    * Materialize triples from resolved mentions.
@@ -56,9 +62,13 @@ object Triples {
    */
   def materialize(mentions: DataFrame, entityMap: DataFrame,
       cfg: TripleConfig = TripleConfig(), numPartitions: Int = 0): DataFrame = {
+    val em = entityMap.select(col("phrase_id").cast("long").as("phrase_id"),
+      col("entity_id").cast("long").as("entity_id"))
+    // size-gated broadcast: the count is cheap (the entity table is persisted
+    // by every caller — KgPipeline and the query cache — before this point)
+    val emKeyed = if (em.count() <= cfg.broadcastEntityLimit) broadcast(em) else em
     val m = mentions
-      .join(broadcast(entityMap.select(col("phrase_id").cast("long").as("phrase_id"),
-        col("entity_id").cast("long").as("entity_id"))), Seq("phrase_id"), "left")
+      .join(emKeyed, Seq("phrase_id"), "left")
       .withColumn("entity_id", coalesce(col("entity_id"), col("phrase_id").cast("long")))
 
     val mentionTriples = m.select(

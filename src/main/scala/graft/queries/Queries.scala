@@ -636,21 +636,13 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS documents FROM tg_toks) nd,
      (SELECT CAST(count(*) AS BIGINT) AS total_matches,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_matches FROM mt) c""")),
 
-    // SimHash near-dup fingerprint: 16 bits from per-token md5 hex digits
+    // SimHash near-dup fingerprint: 16 bits from per-token md5 hex digits —
+    // ONE narrow corpus pass (ops.SimHash), no explode, no shuffle except the
+    // presentation sort (the round-2 plan shuffled 16 copies of every token)
     ("dd_simhash",
-      (s: SparkSession, dir: String) => {
-        val tok = toks(s, dir).select(col("doc_id"), explode(col("t")).as("tok"))
-        val bits = tok
-          .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"),
-            expr("position(substring(md5(tok), i + 1, 1) IN '0123456789abcdef') - 1").as("hv"))
-          .groupBy("doc_id", "i")
-          .agg(sum(when(col("hv") >= 8, 1).otherwise(-1)).as("sgn"))
-          .select(col("doc_id"), col("i"),
-            when(col("sgn") > 0, 1L).otherwise(0L).as("bit"))
-        bits.groupBy("doc_id")
-          .agg(sum(col("bit") * pow(lit(2.0), col("i")).cast("long")).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, dir: String) =>
+        graft.ops.SimHash.simhash16(toks(s, dir), "doc_id", "t")
+          .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
 bits AS (SELECT doc_id, i.i AS i,

@@ -211,6 +211,32 @@ class KgSpec extends SparkSuite {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("entity-map broadcast gate: oversized map takes the shuffle join, same triples") {
+    val mentions = Seq(
+      ("doc://1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 0, 2, 10L, "PHRASE"),
+      ("doc://1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 3, 5, 11L, "PHRASE"),
+      ("doc://2", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 1, 3, 10L, "PHRASE"))
+      .toDF("url", "warc_ts", "start", "end", "phrase_id", "label")
+    val ents = Seq((10L, 7L), (11L, 7L)).toDF("phrase_id", "entity_id")
+    def collectTriples(cfg: Triples.TripleConfig) =
+      Triples.materialize(mentions, ents, cfg)
+        .select("subj", "pred", "obj", "url")
+        .as[(String, String, String, String)].collect().toSet
+    // disable auto-broadcast so the plan shape reflects the GATE's decision
+    // (a 2-row table would otherwise be statistics-broadcast either way)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaBroadcast = Triples.materialize(mentions, ents)
+      val viaShuffle = Triples.materialize(mentions, ents,
+        Triples.TripleConfig(broadcastEntityLimit = 0L))
+      assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(!viaShuffle.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(collectTriples(Triples.TripleConfig()) ==
+      collectTriples(Triples.TripleConfig(broadcastEntityLimit = 0L)))
+  }
+
   test("contraction CC == iterative CC on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {

@@ -51,6 +51,51 @@ class EntropySpec extends SparkSuite {
     assert(strict.isEmpty) // both PMIs are log2(3.75) ≈ 1.907 < 2.0
   }
 
+  test("boundedExtensions: aggregate keyspace is candidate-adjacent only, counts exact") {
+    // corpus has many 3-grams, but only those whose length-2 prefix or suffix
+    // is a candidate may survive the pre-aggregate restriction
+    val only = Entropy.boundedExtensions(docs, "t", Seq(("a b", 4L)).toDF("ngram", "count"), 2, 2)
+    val rows = only.select("ngram", "count", "p", "s")
+      .as[(String, Long, Int, Int)].collect().toSet
+    // adjacent to "a b": right-extensions "a b c"(2) "a b x"(1); left-extension "z a b"(1)
+    assert(rows == Set(("a b c", 2L, 1, 0), ("a b x", 1L, 1, 0), ("z a b", 1L, 0, 1)),
+      rows.toString)
+    // the restriction happens BELOW the aggregate: the filter on the broadcast
+    // marks feeds the count, rather than a post-aggregation filter over the
+    // full distinct-gram table
+    val plan = only.queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("count(1)")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && joinIdx > aggIdx,
+      s"expected broadcast restriction joins BELOW the gram aggregate:\n$plan")
+  }
+
+  test("filterCandidates == legacy unbounded-extension scoring (same corpus)") {
+    val bounded = Entropy.filterCandidates(docs, "t", cands, 2, 2)
+      .select("ngram", "pmi", "left_entropy", "right_entropy")
+      .as[(String, Double, Double, Double)].collect().toSet
+    val legacy = Entropy.score(cands,
+        Miner.mine(docs, "t", Miner.MineConfig(1, 1, 1, ordered = false)).select("ngram", "count"),
+        Miner.mine(docs, "t", Miner.MineConfig(3, 3, 1, ordered = false)).select("ngram", "count"))
+      .filter(col("pmi") >= 1.0 &&
+        greatest(col("left_entropy"), col("right_entropy")) >= 0.5)
+      .select("ngram", "pmi", "left_entropy", "right_entropy")
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(bounded == legacy && bounded.nonEmpty)
+  }
+
+  test("fallback path (candidates above broadcast limit) matches broadcast path here") {
+    // min_count-2+ extensions only in this corpus: "a b c" (2). With the
+    // fallback floor at 2 the surviving extension set is {a b c}; hand-check
+    // the resulting right entropy degrades exactly as documented (singleton
+    // tails dropped).
+    val cfg = Entropy.EntropyConfig(broadcastCandidateLimit = 0L)
+    val out = Entropy.boundedExtensions(docs, "t",
+        Seq(("a b", 4L)).toDF("ngram", "count"), 2, 2, cfg)
+      .select("ngram", "count", "p", "s").as[(String, Long, Int, Int)].collect().toSet
+    assert(out == Set(("a b c", 2L, 1, 0)), out.toString)
+  }
+
   test("candidates with no extensions on either side get entropy 0 (corpus edge)") {
     val single = Seq(Seq("p", "q")).toDF("t")
     val c1 = Miner.mine(single, "t", Miner.MineConfig(2, 2, 1, ordered = false))

@@ -85,6 +85,16 @@ class PlanSpec extends SparkSuite {
       s"no rare-restricted self-join found:\n$plan")
   }
 
+  test("dd_simhash plans one narrow pass: no explode, only the presentation-sort exchange") {
+    graft.queries.Queries.clearCache()
+    val df = graft.queries.Queries.queries("dd_simhash")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("Generate"), p) // round-2 shape exploded 16 rows/token
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the rangepartitioning sort exchange:\n$p")
+    assert(p.contains("MapPartitions"), p)
+  }
+
   test("scoring join keeps the min_domain_count filter below the join (pushdown)") {
     val dom = Seq(("a b", 10L), ("c d", 2L)).toDF("ngram", "count")
     val bg = Seq(("a b", 1L)).toDF("ngram", "count")
