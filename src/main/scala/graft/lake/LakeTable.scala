@@ -47,14 +47,28 @@ final class LakeTable(spark: SparkSession, val root: String) {
 
   /** All partitions ever committed for a stage (across snapshots), latest wins. */
   def committedPartitions(stage: String): Map[String, PartitionEntry] =
-    snapshots.filter(_.stage == stage).flatMap(_.partitions.map(e => e.value -> e)).toMap
+    committedPartitionsAsOf(stage, Int.MaxValue)
+
+  /** Partition state as of snapshot `asOfVersion` (inclusive): among snapshots
+   * with version ≤ asOfVersion, latest entry per partition value wins. */
+  def committedPartitionsAsOf(stage: String, asOfVersion: Int): Map[String, PartitionEntry] =
+    snapshots.filter(s => s.stage == stage && s.version <= asOfVersion)
+      .flatMap(_.partitions.map(e => e.value -> e)).toMap
 
   // ---- reads ----
 
   /** Read the current state of a stage: union of the latest entry per partition. */
-  def read(stage: String): DataFrame = {
-    val parts = committedPartitions(stage).values.toSeq
-    require(parts.nonEmpty, s"no committed partitions for stage '$stage' in $root")
+  def read(stage: String): DataFrame = read(stage, Int.MaxValue)
+
+  /** Time travel (Iceberg read-at-snapshot): the stage as it stood after
+   * snapshot `asOfVersion` committed. Entries superseded by later rewrites
+   * resolve back to their old data paths — commit directories are immutable
+   * and never garbage-collected by this class, so every published snapshot
+   * stays readable. */
+  def read(stage: String, asOfVersion: Int): DataFrame = {
+    val parts = committedPartitionsAsOf(stage, asOfVersion).values.toSeq
+    require(parts.nonEmpty,
+      s"no committed partitions for stage '$stage' as of v$asOfVersion in $root")
     spark.read.parquet(parts.map(_.path): _*)
   }
 
@@ -73,8 +87,20 @@ final class LakeTable(spark: SparkSession, val root: String) {
    * A missing expected directory fails the commit loudly instead. Per-
    * partition row counts come from ONE read-back aggregation job, not one
    * count() job per partition. */
-  def resumableWrite(df: DataFrame, partitionCol: String, stage: String): Option[Snapshot] = {
-    val done = committedPartitions(stage).keySet
+  def resumableWrite(df: DataFrame, partitionCol: String, stage: String): Option[Snapshot] =
+    write(df, partitionCol, stage, force = false)
+
+  /** Rewrite ALL of df's partitions regardless of prior commits (backfill /
+   * compaction verb): the new snapshot's entries supersede earlier ones for
+   * the same partition values under latest-wins resolution, while
+   * `read(stage, olderVersion)` still resolves the superseded data — the
+   * write path of time travel. */
+  def rewritePartitions(df: DataFrame, partitionCol: String, stage: String): Option[Snapshot] =
+    write(df, partitionCol, stage, force = true)
+
+  private def write(df: DataFrame, partitionCol: String, stage: String,
+      force: Boolean): Option[Snapshot] = {
+    val done = if (force) Set.empty[String] else committedPartitions(stage).keySet
     val allValRows = df.select(col(partitionCol).cast("string")).distinct().collect()
     require(!allValRows.exists(_.isNullAt(0)),
       s"null value in partition column '$partitionCol' — the snapshot log keys " +

@@ -40,7 +40,24 @@ object Jsonl {
     (parsed, () => obs.get("malformed").asInstanceOf[Long])
   }
 
-  /** Fail-fast read (tag semantics): any malformed line throws at action time. */
-  def readStrict(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+  /** Fail-fast read (tag semantics): any malformed line throws at action time.
+   *
+   * FAILFAST alone only aborts on unparseable/mistyped JSON; a WELL-FORMED
+   * line missing a required field parses to a null column silently. The
+   * reference tag CLI rejects that line too (serde's required-field rejection
+   * surfacing through phrasekit_tag.rs:146's `?`), so required columns are
+   * guarded with raise_error — the violation aborts the job at action time,
+   * matching the CLI's abort-on-first-bad-line behavior. */
+  def readStrict(spark: SparkSession, path: String, schema: StructType,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    if (requiredCols.isEmpty) df
+    else df.select(schema.fieldNames.toIndexedSeq.map { n =>
+      if (requiredCols.contains(n))
+        when(col(n).isNull, raise_error(
+          lit(s"strict JSONL read: required field '$n' missing/null in $path")))
+          .otherwise(col(n)).as(n)
+      else col(n)
+    }: _*)
+  }
 }

@@ -55,6 +55,28 @@ class LakeSpec extends SparkSuite {
     assert(t2.resumableWrite(sample, "bucket", "s").isEmpty)
   }
 
+  test("time travel: read-at-version resolves superseded partitions to old data") {
+    val t = new LakeTable(spark, tmpRoot())
+    val v1 = t.resumableWrite(sample, "bucket", "stage1").get.version
+    // rewrite partition 'a' with different rows (backfill); 'b'/'c' untouched
+    val fixed = Seq((10L, "a", 99.0)).toDF("id", "bucket", "v")
+    val v2 = t.rewritePartitions(fixed, "bucket", "stage1").get.version
+    assert(v2 == v1 + 1)
+    // current read: new 'a' (1 row), old 'b'/'c'
+    assert(t.read("stage1").count() == 4)
+    assert(t.read("stage1").filter(col("bucket") === "a").select(sum("id"))
+      .head().getLong(0) == 10L)
+    // as-of v1: the superseded 'a' rows are still readable
+    val old = t.read("stage1", v1)
+    assert(old.count() == 5)
+    assert(old.filter(col("bucket") === "a").select(sum("id")).head().getLong(0) == 3L)
+    // resumableWrite after the rewrite still sees every partition as done
+    assert(t.resumableWrite(sample, "bucket", "stage1").isEmpty)
+    // a reopened table resolves the same histories (log is the source of truth)
+    val t2 = new LakeTable(spark, t.root)
+    assert(t2.read("stage1", v1).count() == 5 && t2.read("stage1").count() == 4)
+  }
+
   test("snapshot log is ordered and lineage survives reopen") {
     val root = tmpRoot()
     val t = new LakeTable(spark, root)

@@ -68,6 +68,29 @@ class JsonlSpec extends SparkSuite {
     assert(Jsonl.readStrict(spark, ok, schema).count() == 1L)
   }
 
+  test("strict: a WELL-FORMED line missing a required field is fatal (serde parity)") {
+    // parses fine under FAILFAST (valid JSON, valid types) — only the
+    // required-field guard catches it, like serde's required-field rejection
+    val missing = writeLines(Seq(
+      """{"doc_id":"d1","tokens":["a"]}""",
+      """{"tokens":["b","c"]}"""))
+    val e = intercept[Exception] {
+      Jsonl.readStrict(spark, missing, schema, Seq("doc_id", "tokens")).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: chain(t.getCause)
+    assert(chain(e).exists(_.contains("required field 'doc_id'")), chain(e).toString)
+    // explicit null is rejected the same way
+    val explicitNull = writeLines(Seq("""{"doc_id":null,"tokens":["a"]}"""))
+    intercept[Exception] {
+      Jsonl.readStrict(spark, explicitNull, schema, Seq("doc_id", "tokens")).collect()
+    }
+    // all required fields present → clean read, all rows survive
+    val ok2 = writeLines(Seq(
+      """{"doc_id":"d1","tokens":["a"]}""", """{"doc_id":"d2","tokens":[]}"""))
+    assert(Jsonl.readStrict(spark, ok2, schema, Seq("doc_id", "tokens")).count() == 2L)
+  }
+
   test("round-trip: parquet documents → JSONL → permissive read preserves content") {
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text", "lang")
