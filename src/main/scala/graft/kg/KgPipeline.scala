@@ -55,31 +55,49 @@ object KgPipeline {
    *                   absent, derived from the corpus' non-`lang` pages —
    *                   deterministic and self-contained.
    */
-  def build(spark: SparkSession, pages: Dataset[WebPage],
-      background: Option[DataFrame] = None,
-      cfg: KgConfig = KgConfig()): KgPlan = {
-    import spark.implicits._
-
-    // extract from html (per-row byte-identity invariant vs `text` is asserted
-    // in tests over the full synthetic corpus), tokenize, filter language
-    val inLang = pages.toDF().filter(col("lang") === cfg.lang)
-    // the cleaned/tokenized layer feeds four consumers (two mine passes, the
-    // tag scan, the warc_ts join) — materialize it once, spilling to disk,
-    // exactly as a production pipeline writes its cleaned layer before mining
-    val docs = inLang.select(
+  /** The cleaned/tokenized layer: extract from html (per-row byte-identity
+   * invariant vs `text` is asserted in tests over the full synthetic corpus),
+   * tokenize, filter language. */
+  def cleanedDocs(pages: Dataset[WebPage], cfg: KgConfig = KgConfig()): DataFrame =
+    pages.toDF().filter(col("lang") === cfg.lang).select(
       col("url").as("docId"),
       col("warc_ts"),
       Extract.tokenize(Extract.extractText(col("html"))).as("tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Background n-gram table derived from the corpus' non-`lang` pages —
+   * deterministic and self-contained. */
+  def backgroundFromPages(pages: Dataset[WebPage], cfg: KgConfig): DataFrame = {
+    val other = pages.toDF().filter(col("lang") =!= cfg.lang)
+      .select(Extract.tokenize(col("text")).as("tokens"))
+    Miner.mine(other, "tokens",
+      cfg.mine.copy(minCount = math.max(1, cfg.mine.minCount / 2), ordered = false))
+      .select("ngram", "count")
+  }
+
+  def build(spark: SparkSession, pages: Dataset[WebPage],
+      background: Option[DataFrame] = None,
+      cfg: KgConfig = KgConfig()): KgPlan = {
+    // the cleaned/tokenized layer feeds four consumers (two mine passes, the
+    // tag scan, the warc_ts join) — materialize it once, spilling to disk;
+    // the checkpointed path instead WRITES it as a lake layer and feeds
+    // downstream from the parquet read-back (buildFromCleaned)
+    val docs = cleanedDocs(pages, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buildFromCleaned(spark, docs,
+      background.getOrElse(backgroundFromPages(pages, cfg)), cfg)
+  }
+
+  /**
+   * Build from an already-materialized cleaned layer (docId, warc_ts,
+   * tokens) — typically a LakeTable read-back, which is exactly what a
+   * production pipeline does instead of holding a 100 TB persist in
+   * executor memory+disk cache.
+   */
+  def buildFromCleaned(spark: SparkSession, docs: DataFrame,
+      background: DataFrame, cfg: KgConfig = KgConfig()): KgPlan = {
+    import spark.implicits._
     val mined = Miner.mine(docs, "tokens", cfg.mine.copy(ordered = false))
-    val bg = background.getOrElse {
-      val other = pages.toDF().filter(col("lang") =!= cfg.lang)
-        .select(Extract.tokenize(col("text")).as("tokens"))
-      Miner.mine(other, "tokens",
-        cfg.mine.copy(minCount = math.max(1, cfg.mine.minCount / 2), ordered = false))
-        .select("ngram", "count")
-    }
+    val bg = background
 
     // scored is consumed by Builder.collect, the linker and the entity table —
     // persist the (small, thresholded) phrase set; Builder's stats aggregate
@@ -141,19 +159,26 @@ object KgPipeline {
 
   /**
    * Checkpointed execution into a LakeTable (north rule: "resumable from
-   * checkpoint with per-partition lineage + metrics"). The mention and triple
-   * layers are committed partitioned by a url-hash bucket; a killed run resumes
-   * by computing ONLY the buckets missing from the snapshot log. Returns the
-   * snapshot-backed triple table.
+   * checkpoint with per-partition lineage + metrics"). The CLEANED layer is
+   * committed first (url-hash-bucketed) and all downstream stages consume its
+   * parquet READ-BACK — the production layout, where the tokenized corpus is
+   * a table, not an executor cache pinning 100 TB of memory+disk. Mention,
+   * entity and triple layers are then committed the same way; a killed run
+   * resumes by computing ONLY the buckets missing from the snapshot log (a
+   * rerun that finds every bucket committed recomputes nothing — LakeSpec).
+   * Returns the snapshot-backed triple table.
    */
   def runCheckpointed(spark: SparkSession, pages: Dataset[WebPage],
       lakeRoot: String, buckets: Int = 16,
       background: Option[DataFrame] = None,
       cfg: KgConfig = KgConfig()): DataFrame = {
     val lake = new graft.lake.LakeTable(spark, lakeRoot)
-    val p = build(spark, pages, background, cfg)
     val bucketed = (df: DataFrame, key: String) =>
       df.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+    lake.resumableWrite(bucketed(cleanedDocs(pages, cfg), "docId"), "bucket", "cleaned")
+    val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
+    val p = buildFromCleaned(spark, docs,
+      background.getOrElse(backgroundFromPages(pages, cfg)), cfg)
     lake.resumableWrite(bucketed(p.mentions, "url"), "bucket", "mentions")
     lake.resumableWrite(bucketed(p.entities, "entity_id"), "bucket", "entities")
     lake.resumableWrite(bucketed(p.triples, "subj"), "bucket", "triples")
