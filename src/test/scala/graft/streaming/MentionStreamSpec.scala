@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.corpus.Extract
+import graft.lake.LakeTable
+import graft.tag.Tagger
+
+/** Streaming mention ingest → lake: stream == batch content, and replays
+ * (checkpoint wiped, same input) are lake no-ops via the snapshot ledger. */
+class MentionStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+    f.delete(); ()
+  }
+
+  test("stream→lake mentions == batch mentions; fresh-checkpoint replay adds nothing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang") === "en")
+    val docsDir = Files.createTempDirectory("graft-mstream-docs").toString
+    docs.repartition(3).write.mode("overwrite").parquet(docsDir)
+
+    // batch-built model (same recipe as the parity test)
+    val toks = docs.select(col("doc_id"), Extract.tokenize(col("text")).as("t"))
+    val mined = graft.mine.Miner.mine(toks, "t",
+      graft.mine.Miner.MineConfig(2, 3, 5, ordered = false))
+    val scored = graft.score.Scorer.score(mined.select("ngram", "count"),
+      mined.select("ngram", "count").limit(0),
+      graft.score.Scorer.ScoreConfig("ratio", 1.0f, 5, assignPhraseIds = true, 1000))
+    val model = graft.artifact.Builder.build(
+      scored.withColumnRenamed("domain_count", "count"))._1
+    val bc = spark.sparkContext.broadcast(model)
+
+    val lakeRoot = Files.createTempDirectory("graft-mstream-lake").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+        .select(col("doc_id").cast("string").as("docId"),
+          Extract.tokenize(col("text")).as("tokens")).as[graft.model.Doc]
+      val q = MentionStream.toLake(spark, stream, bc, lakeRoot)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val lake = new LakeTable(spark, lakeRoot)
+    val streamed = lake.read("mentions_stream")
+      .select("url", "start", "end", "phrase_id")
+      .as[(String, Int, Int, Int)].collect().toSet
+
+    val batch = Tagger.tag(spark,
+        docs.select(col("doc_id").cast("string").as("docId"),
+          Extract.tokenize(col("text")).as("tokens")).as[graft.model.Doc], bc)
+      .toDF()
+      .select(col("docId").as("url"), explode(col("spans")).as("s"))
+      .select(col("url"), col("s.start"), col("s.end"), col("s.phraseId"))
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+
+    // replay with a WIPED checkpoint: batch ids restart at 0, every commit
+    // resolves to already-committed partition values → snapshot log unchanged
+    val versionsBefore = lake.snapshots.map(_.version).max
+    rmrf(new java.io.File(s"$lakeRoot/_stream_checkpoint_mentions_stream"))
+    runOnce()
+    assert(lake.snapshots.map(_.version).max == versionsBefore,
+      "replay must be a lake no-op")
+    assert(lake.read("mentions_stream").count() == streamed.size.toLong)
+  }
+}
