@@ -112,15 +112,19 @@ object Bench {
     // HEADLINE = the MEDIAN pair (typical host conditions); the best pair is
     // a secondary field and every pair is reported raw. (Round 2 headlined
     // the best plausible pair, which the judge flagged as upward-biased.)
+    // 5 pairs: the r3 recorded run's three pairs spanned 0.485-1.092 (steal
+    // regimes); a median over 5 is stable against two bad draws instead of one
     val nPairs =
-      if (nDocs >= 1000000L) sys.env.getOrElse("SPARK_GRAFT_PAIRS", "3").toInt else 1
+      if (nDocs >= 1000000L) sys.env.getOrElse("SPARK_GRAFT_PAIRS", "5").toInt else 1
     val pairs = (1 to nPairs).map { _ =>
       val p2 = sustainedRun(2, path, nDocs)
       val p8 = sustainedRun(8, path, nDocs)
       (p2, p8, p8 / (4.0 * p2))
     }
     val byEff = pairs.sortBy(_._3)
-    val medianPair = byEff(byEff.length / 2)
+    // lower-middle for even pair counts: the upper-middle would reintroduce
+    // a best-leaning bias into exactly the statistic the median de-biases
+    val medianPair = byEff((byEff.length - 1) / 2)
     val bestPair = byEff.filter(_._3 <= 1.02).lastOption.getOrElse(byEff.head)
     val (sThr2, sThr8, efficiency) = medianPair
     // single-job latency numbers for context + the 32-core headline
@@ -202,17 +206,12 @@ object Bench {
    * production run that wants exact resume actually pays. One sample: the
    * lake write doubles as the durability evidence, and disk-write walls are
    * long enough to average over steal bursts on their own. */
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-    f.delete(); ()
-  }
-
   private def checkpointedRun(cores: Int, path: String, nDocs: Long): Double = {
     val spark = session(cores)
     val lakeRoot = s"/tmp/graft_bench_lake_$nDocs"
     try {
       import spark.implicits._
-      rmrf(new java.io.File(lakeRoot))
+      graft.util.Fs.rmrf(new java.io.File(lakeRoot))
       val pages = spark.read.parquet(path).as[graft.model.WebPage]
       val t0 = System.nanoTime()
       val triples = KgPipeline.runCheckpointed(spark, pages, lakeRoot,
@@ -221,7 +220,7 @@ object Bench {
       nDocs / ((System.nanoTime() - t0) / 1e9)
     } finally {
       spark.stop()
-      rmrf(new java.io.File(lakeRoot))
+      graft.util.Fs.rmrf(new java.io.File(lakeRoot))
     }
   }
 

@@ -164,9 +164,11 @@ object KgPipeline {
    * parquet READ-BACK — the production layout, where the tokenized corpus is
    * a table, not an executor cache pinning 100 TB of memory+disk. Mention,
    * entity and triple layers are then committed the same way; a killed run
-   * resumes by computing ONLY the buckets missing from the snapshot log (a
-   * rerun that finds every bucket committed recomputes nothing — LakeSpec).
-   * Returns the snapshot-backed triple table.
+   * resumes by computing ONLY the buckets missing from the snapshot log, and
+   * stage-completion markers let it skip FINISHED layers without even
+   * recomputing their input lineage (a rerun that finds the triple marker
+   * returns the committed table with zero compute — LakeSpec). Returns the
+   * snapshot-backed triple table.
    */
   def runCheckpointed(spark: SparkSession, pages: Dataset[WebPage],
       lakeRoot: String, buckets: Int = 16,
@@ -175,13 +177,41 @@ object KgPipeline {
     val lake = new graft.lake.LakeTable(spark, lakeRoot)
     val bucketed = (df: DataFrame, key: String) =>
       df.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
-    lake.resumableWrite(bucketed(cleanedDocs(pages, cfg), "docId"), "bucket", "cleaned")
-    val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
-    val p = buildFromCleaned(spark, docs,
-      background.getOrElse(backgroundFromPages(pages, cfg)), cfg)
-    lake.resumableWrite(bucketed(p.mentions, "url"), "bucket", "mentions")
-    lake.resumableWrite(bucketed(p.entities, "entity_id"), "bucket", "entities")
-    lake.resumableWrite(bucketed(p.triples, "subj"), "bucket", "triples")
+    // Stage-skipping resume via completion markers: resumableWrite alone makes
+    // a committed stage's WRITE a no-op, but discovering that means computing
+    // the stage's input lineage (the full tag scan, the LSH chain) just to
+    // list its partition values. The markers let a rerun skip whole layers:
+    //  - triples complete → return the committed table, zero compute;
+    //  - mentions+entities complete → materialize triples from their lake
+    //    read-backs (no mine, no tag, no LSH);
+    //  - otherwise full build, with the cleaned layer itself marker-guarded.
+    // A crash BETWEEN a stage's write and its marker is safe: the rerun
+    // recomputes that stage's input once, resumableWrite skips the committed
+    // partitions, and the marker lands.
+    if (!lake.isComplete("triples")) {
+      if (lake.isComplete("mentions") && lake.isComplete("entities")) {
+        val mentions = lake.read("mentions")
+          .select("url", "warc_ts", "start", "end", "phrase_id", "label")
+        val ents = lake.read("entities").select("phrase_id", "entity_id")
+        lake.resumableWrite(bucketed(Triples.materialize(mentions, ents, cfg.triple),
+          "subj"), "bucket", "triples")
+        lake.markComplete("triples")
+      } else {
+        if (!lake.isComplete("cleaned")) {
+          lake.resumableWrite(bucketed(cleanedDocs(pages, cfg), "docId"), "bucket", "cleaned")
+          lake.markComplete("cleaned")
+        }
+        val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
+        val p = buildFromCleaned(spark, docs,
+          background.getOrElse(backgroundFromPages(pages, cfg)), cfg)
+        lake.resumableWrite(bucketed(p.mentions, "url"), "bucket", "mentions")
+        lake.markComplete("mentions")
+        lake.resumableWrite(bucketed(p.entities, "entity_id"), "bucket", "entities")
+        lake.markComplete("entities")
+        lake.resumableWrite(bucketed(p.triples, "subj"), "bucket", "triples")
+        lake.markComplete("triples")
+      }
+    }
     lake.read("triples")
   }
 }

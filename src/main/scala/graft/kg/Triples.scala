@@ -47,12 +47,12 @@ object Triples {
       cooccurPred: String = "co_occurs",
       maxEntitiesPerDoc: Int = 64, // caps the quadratic co-occurrence blowup
       saltBuckets: Int = 16,
-      // entity-map rows above which the mention⋈entity join falls back from
-      // broadcast to a shuffle join (mirrors Miner.broadcastSurvivorLimit):
+      // entity-map size (plan-statistics estimate, bytes) above which the
+      // mention⋈entity join falls back from broadcast to a shuffle join:
       // phrase-derived entity maps are phrase-scale and broadcast fine, but a
       // 100 TB corpus can plausibly grow 10⁸⁺ entities, which would OOM every
-      // executor as a broadcast. ~10M rows ≈ a few hundred MB hashed relation.
-      broadcastEntityLimit: Long = 10000000L)
+      // executor as a broadcast. 256 MB ≈ ~10M hashed (long, long) rows.
+      broadcastEntityBytes: Long = 256L << 20)
 
   /**
    * Materialize triples from resolved mentions.
@@ -64,9 +64,14 @@ object Triples {
       cfg: TripleConfig = TripleConfig(), numPartitions: Int = 0): DataFrame = {
     val em = entityMap.select(col("phrase_id").cast("long").as("phrase_id"),
       col("entity_id").cast("long").as("entity_id"))
-    // size-gated broadcast: the count is cheap (the entity table is persisted
-    // by every caller — KgPipeline and the query cache — before this point)
-    val emKeyed = if (em.count() <= cfg.broadcastEntityLimit) broadcast(em) else em
+    // size-gated broadcast on the PLAN-STATISTICS estimate — the same basis
+    // autoBroadcastJoinThreshold uses. No extra job (a count() here would
+    // re-execute an unpersisted entity lineage in full), lazy, and
+    // conservative: an unknown/overestimated size falls back to the shuffle
+    // join, which AQE can still convert to a broadcast join at runtime from
+    // exact shuffle statistics.
+    val emBytes = em.queryExecution.optimizedPlan.stats.sizeInBytes
+    val emKeyed = if (emBytes <= BigInt(cfg.broadcastEntityBytes)) broadcast(em) else em
     val m = mentions
       .join(emKeyed, Seq("phrase_id"), "left")
       .withColumn("entity_id", coalesce(col("entity_id"), col("phrase_id").cast("long")))

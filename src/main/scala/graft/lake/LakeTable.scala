@@ -155,6 +155,19 @@ final class LakeTable(spark: SparkSession, val root: String) {
     sb.toString
   }
 
+  /** Stage-completion marker: a zero-partition snapshot recording that
+   * `stage` finished committing ALL of its partitions. resumableWrite alone
+   * makes a finished stage's rerun a write no-op, but discovering that
+   * requires COMPUTING the input's distinct partition values — i.e. running
+   * the stage's full upstream lineage. The marker lets resume logic skip the
+   * recomputation entirely (KgPipeline.runCheckpointed consults it before
+   * building each layer). */
+  def markComplete(stage: String): Unit =
+    publish(Snapshot(latest.map(_.version + 1).getOrElse(1), s"__done__$stage", "", Nil))
+
+  def isComplete(stage: String): Boolean =
+    snapshots.exists(_.stage == s"__done__$stage")
+
   /** Atomic publish: write to tmp, move into the log with ATOMIC_MOVE. */
   private def publish(s: Snapshot): Unit = {
     val tmp = Files.createTempFile(snapDir, ".tmp-snapshot", ".json")

@@ -62,8 +62,12 @@ object Entropy {
    * Broadcast path (candidates ≤ cfg.broadcastCandidateLimit): two broadcast
    * left-outer joins mark the gram stream in one corpus scan — no shuffle of
    * gram instances; the only shuffle is the (bounded) final aggregate. The
-   * result is persisted: both entropy sides read it, and without the persist
-   * each side would re-scan the corpus.
+   * result should be materialized ONCE by consumers reading both sides
+   * (filterCandidates localCheckpoints it — checkpoint blocks are freed by
+   * the ContextCleaner when the DataFrame is garbage-collected, whereas
+   * CacheManager pins persist() entries for the session lifetime, a leak
+   * across repeated calls); the function itself returns the raw lazy plan so
+   * its shape stays assertable (EntropySpec).
    *
    * Fallback (huge candidate table): global aggregate floored at
    * cfg.fallbackExtensionMinCount, then shuffle-joined against candidates.
@@ -97,7 +101,6 @@ object Entropy {
           max(coalesce(col("__p"), lit(0))).as("p"),
           max(coalesce(col("__s"), lit(0))).as("s"))
         .withColumnRenamed("g", "ngram")
-        .persist()
     } else {
       grams
         .groupBy("g", "prefix", "suffix").agg(count(lit(1)).as("count"))
@@ -109,7 +112,6 @@ object Entropy {
         .filter(col("__p").isNotNull || col("__s").isNotNull)
         .select(col("g").as("ngram"), col("count"),
           coalesce(col("__p"), lit(0)).as("p"), coalesce(col("__s"), lit(0)).as("s"))
-        .persist()
     }
   }
 
@@ -175,7 +177,9 @@ object Entropy {
       minN: Int, maxN: Int, cfg: EntropyConfig = EntropyConfig()): DataFrame = {
     val unigrams = Miner.mine(docs, tokensCol, Miner.MineConfig(1, 1, 1, ordered = false))
       .select("ngram", "count")
+    // one corpus scan for both entropy sides; GC-cleaned, unlike persist()
     val bounded = boundedExtensions(docs, tokensCol, candidates, minN, maxN, cfg)
+      .localCheckpoint()
     score(candidates, unigrams,
       bounded.filter(col("p") === 1).select("ngram", "count"),
       bounded.filter(col("s") === 1).select("ngram", "count"))

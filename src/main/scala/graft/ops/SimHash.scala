@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, size}
 
 /**
  * One-pass 16-bit SimHash document fingerprints (near-dup detection; Charikar
@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions.col
 object SimHash {
 
   /** @param docs (idCol BIGINT, tokensCol ARRAY<STRING>)
-   *  @return (idCol, simhash BIGINT) — zero shuffles, one corpus pass */
+   *  @return (idCol, simhash BIGINT) — zero shuffles, one corpus pass.
+   *  Documents with a null or EMPTY token array produce no row, matching the
+   *  explode-based formulation and the DuckDB oracle (unnest of an empty
+   *  list yields nothing, so such doc_ids vanish from the grouped result). */
   def simhash16(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(tokensCol))
+      .where(size(col(tokensCol)) > 0)
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

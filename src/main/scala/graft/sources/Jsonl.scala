@@ -52,12 +52,17 @@ object Jsonl {
       requiredCols: Seq[String] = Nil): DataFrame = {
     val df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
     if (requiredCols.isEmpty) df
-    else df.select(schema.fieldNames.toIndexedSeq.map { n =>
-      if (requiredCols.contains(n))
+    else {
+      // the guard is a FILTER, not a projection: a guarded projection column
+      // would be silently PRUNED (guard included) whenever a caller selects
+      // a subset of columns or runs a count — the filter survives any
+      // downstream pruning because it determines the row set
+      val guard = requiredCols.foldRight(lit(true)) { (n, rest) =>
         when(col(n).isNull, raise_error(
           lit(s"strict JSONL read: required field '$n' missing/null in $path")))
-          .otherwise(col(n)).as(n)
-      else col(n)
-    }: _*)
+          .otherwise(rest)
+      }
+      df.filter(guard)
+    }
   }
 }

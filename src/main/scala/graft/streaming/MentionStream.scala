@@ -24,6 +24,14 @@ import graft.tag.Tagger
  * snapshot log as the committed-batch ledger, and it composes with
  * `LakeTable.read(stage, asOfVersion)` for time-travel over the ingest
  * history.
+ *
+ * CONTRACT — batchId keys assume stable batch composition: wipe the
+ * checkpoint ONLY to replay the identical input set. To ingest NEW files
+ * into a growing directory, KEEP the checkpoint (the normal production
+ * mode): Structured Streaming then assigns the new files fresh batch ids,
+ * which commit as fresh lake partitions. Wiping the checkpoint after the
+ * input has grown would renumber batches from 0 and the ledger would
+ * silently skip the new data as "already committed".
  */
 object MentionStream {
 

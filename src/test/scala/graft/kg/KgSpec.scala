@@ -229,12 +229,12 @@ class KgSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val viaBroadcast = Triples.materialize(mentions, ents)
       val viaShuffle = Triples.materialize(mentions, ents,
-        Triples.TripleConfig(broadcastEntityLimit = 0L))
+        Triples.TripleConfig(broadcastEntityBytes = 0L))
       assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
       assert(!viaShuffle.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert(collectTriples(Triples.TripleConfig()) ==
-      collectTriples(Triples.TripleConfig(broadcastEntityLimit = 0L)))
+      collectTriples(Triples.TripleConfig(broadcastEntityBytes = 0L)))
   }
 
   test("contraction CC == iterative CC on random graphs") {

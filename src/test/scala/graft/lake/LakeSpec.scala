@@ -1,6 +1,7 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
@@ -107,5 +108,27 @@ class LakeSpec extends SparkSuite {
     val versions2 = new LakeTable(spark, root).snapshots.map(_.version)
     assert(versions1 == versions2) // nothing recommitted
     assert(t2.count() == rows1 && rows1 > 0)
+  }
+
+  test("partial resume: triples rebuilt from committed mention/entity layers, no upstream recompute") {
+    val root = tmpRoot()
+    val pages = graft.corpus.Synth.corpus(spark, 150)
+    val expected = graft.kg.KgPipeline.runCheckpointed(spark, pages, root, buckets = 4)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    // kill simulation: drop the triple stage (data snapshots + marker) only
+    val snapDir = java.nio.file.Paths.get(root, "snapshots")
+    java.nio.file.Files.list(snapDir).iterator().asScala.toList
+      .filter { p =>
+        val s = java.nio.file.Files.readString(p)
+        s.contains("\"stage\": \"triples\"") || s.contains("\"stage\": \"__done__triples\"")
+      }
+      .foreach(java.nio.file.Files.delete)
+    // rerun with a DIFFERENT (smaller) corpus: the mentions+entities-complete
+    // branch must rebuild triples purely from the lake layers — if it wrongly
+    // recomputed from `pages`, the output would reflect the new corpus
+    val other = graft.corpus.Synth.corpus(spark, 10)
+    val resumed = graft.kg.KgPipeline.runCheckpointed(spark, other, root, buckets = 4)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(resumed == expected && expected.nonEmpty)
   }
 }

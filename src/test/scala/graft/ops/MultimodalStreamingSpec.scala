@@ -91,7 +91,7 @@ class StreamingSpec extends SparkSuite {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming drain timed out")
     val streamed = spark.table("tag_stream_out")
       .as[(String, Int, Int, Int)].collect().toSet
     // batch side: identical code path on the same files

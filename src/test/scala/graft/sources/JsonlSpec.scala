@@ -85,6 +85,16 @@ class JsonlSpec extends SparkSuite {
     intercept[Exception] {
       Jsonl.readStrict(spark, explicitNull, schema, Seq("doc_id", "tokens")).collect()
     }
+    // the guard survives column pruning: a count (consumes no columns) and a
+    // projection of the OTHER column must still abort — a projection-based
+    // guard would be optimized away here
+    intercept[Exception] {
+      Jsonl.readStrict(spark, missing, schema, Seq("doc_id", "tokens")).count()
+    }
+    intercept[Exception] {
+      Jsonl.readStrict(spark, missing, schema, Seq("doc_id", "tokens"))
+        .select("tokens").collect()
+    }
     // all required fields present → clean read, all rows survive
     val ok2 = writeLines(Seq(
       """{"doc_id":"d1","tokens":["a"]}""", """{"doc_id":"d2","tokens":[]}"""))

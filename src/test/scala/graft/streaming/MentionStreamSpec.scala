@@ -12,11 +12,6 @@ import graft.tag.Tagger
 class MentionStreamSpec extends SparkSuite {
   import spark.implicits._
 
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-    f.delete(); ()
-  }
-
   test("stream→lake mentions == batch mentions; fresh-checkpoint replay adds nothing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
@@ -40,7 +35,7 @@ class MentionStreamSpec extends SparkSuite {
         .select(col("doc_id").cast("string").as("docId"),
           Extract.tokenize(col("text")).as("tokens")).as[graft.model.Doc]
       val q = MentionStream.toLake(spark, stream, bc, lakeRoot)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming drain timed out")
     }
     runOnce()
     val lake = new LakeTable(spark, lakeRoot)
@@ -60,7 +55,7 @@ class MentionStreamSpec extends SparkSuite {
     // replay with a WIPED checkpoint: batch ids restart at 0, every commit
     // resolves to already-committed partition values → snapshot log unchanged
     val versionsBefore = lake.snapshots.map(_.version).max
-    rmrf(new java.io.File(s"$lakeRoot/_stream_checkpoint_mentions_stream"))
+    graft.util.Fs.rmrf(new java.io.File(s"$lakeRoot/_stream_checkpoint_mentions_stream"))
     runOnce()
     assert(lake.snapshots.map(_.version).max == versionsBefore,
       "replay must be a lake no-op")
