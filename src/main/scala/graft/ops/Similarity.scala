@@ -130,6 +130,32 @@ object Similarity {
     }.toDF("a", "b", "cos")
   }
 
+  /**
+   * Corpus-scale embedding near-dup WITHOUT a blocking column: IVF cells as
+   * the blocks, with MULTI-ASSIGNMENT — each vector joins its `nAssign`
+   * nearest cells (the multi-probe trick on the index side), and exact
+   * pairwise verification runs per cell via blockedCosinePairs. A pair is
+   * found iff the two vectors share at least one of their top-nAssign cells;
+   * duplicates from multiply-shared cells collapse via distinct() (the cos is
+   * bit-identical per pair — same vectors, same ascending accumulation).
+   * Recall-vs-exact is pinned in SimilarityPlansSpec; cost scales ×nAssign.
+   * Cell sizing at scale: nCells ∝ √N keeps per-cell lists task-sized (the
+   * blockedCosinePairs contract).
+   */
+  def ivfCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cfg: IvfConfig = IvfConfig(), nAssign: Int = 2): DataFrame = {
+    val (centroids, _) = ivfIndex(corpus, idCol, vecCol, cfg)
+    val base = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val multi = base.crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col("vec"), col("centroid")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("cell"))))
+      .filter(col("__rk") <= nAssign)
+      .select(col("id"), col("vec"), col("cell"))
+    blockedCosinePairs(multi, "cell", "id", "vec", threshold).distinct()
+  }
+
   final case class IvfConfig(nCells: Int = 16, lloydIter: Int = 3, nProbe: Int = 4)
 
   /** Deterministic IVF index: (cells DF (cell, centroid ARRAY<DOUBLE>),

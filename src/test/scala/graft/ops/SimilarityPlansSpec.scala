@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSuite {
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
     assert(full == exact)
   }
+  test("ivfCosinePairs: precision 1.0 vs global exact pairs; recall floor; full-cell exactness") {
+    // global exact pairs (no blocking at all) — the ground truth
+    val exact = Similarity.blockedCosinePairs(
+        emb.withColumn("__one", lit(1)), "__one", "vec_id", "embedding", 0.3)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // IVF-bucketed: every reported pair must be a true ≥0.3 pair (exact
+    // verification inside cells), recall bounded below on this corpus
+    val got = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.3,
+        Similarity.IvfConfig(nCells = 8, lloydIter = 2))
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact).take(5)}")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (${got.size}/${exact.size})")
+    // nCells = 1 ⇒ one block = the whole corpus ⇒ exact
+    val full = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.3,
+        Similarity.IvfConfig(nCells = 1, lloydIter = 1))
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
 }
 
 class NGramsGeneratorSpec extends SparkSuite {
