@@ -155,6 +155,19 @@ final class LakeTable(spark: SparkSession, val root: String) {
     sb.toString
   }
 
+  /** Compaction: rewrite the CURRENT state of a stage as one fresh commit —
+   * one contiguous file set per partition — superseding the accumulated
+   * incremental commits under latest-wins resolution. Earlier snapshots stay
+   * time-travelable (`read(stage, v)`); commit directories are never deleted
+   * here. The small-files answer for long-running resumable/streaming stages
+   * (MentionStream's per-batch commits in particular). */
+  def compact(stage: String): Option[Snapshot] = {
+    val pc = snapshots.filter(_.stage == stage).lastOption
+      .map(_.partitionCol)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots for stage '$stage'"))
+    rewritePartitions(read(stage), pc, stage)
+  }
+
   /** Stage-completion marker: a zero-partition snapshot recording that
    * `stage` finished committing ALL of its partitions. resumableWrite alone
    * makes a finished stage's rerun a write no-op, but discovering that

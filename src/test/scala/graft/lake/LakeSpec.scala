@@ -78,6 +78,26 @@ class LakeSpec extends SparkSuite {
     assert(t2.read("stage1", v1).count() == 5 && t2.read("stage1").count() == 4)
   }
 
+  test("compact: current state rewritten in one commit; history stays travelable") {
+    val t = new LakeTable(spark, tmpRoot())
+    t.resumableWrite(sample.filter(col("bucket").isin("a", "b")), "bucket", "s")
+    val v2 = t.resumableWrite(sample, "bucket", "s").get.version // commits c
+    val before = t.read("s").select("id", "bucket", "v")
+      .as[(Long, String, Double)].collect().toSet
+    val snap = t.compact("s").get
+    assert(snap.version == v2 + 1)
+    // one commit now carries every partition of the current state
+    assert(snap.partitions.map(_.value).sorted.toSeq == Seq("a", "b", "c"))
+    assert(t.read("s").select("id", "bucket", "v")
+      .as[(Long, String, Double)].collect().toSet == before)
+    // pre-compaction snapshots still resolve
+    assert(t.read("s", v2).select("id", "bucket", "v")
+      .as[(Long, String, Double)].collect().toSet == before)
+    assert(t.read("s", v2 - 1).count() == 4) // a+b only
+    // compacting an unknown stage is a loud error
+    intercept[IllegalArgumentException](t.compact("nope"))
+  }
+
   test("snapshot log is ordered and lineage survives reopen") {
     val root = tmpRoot()
     val t = new LakeTable(spark, root)
