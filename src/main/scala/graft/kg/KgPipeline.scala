@@ -188,28 +188,30 @@ object KgPipeline {
     // A crash BETWEEN a stage's write and its marker is safe: the rerun
     // recomputes that stage's input once, resumableWrite skips the committed
     // partitions, and the marker lands.
+    // Marker guard: only assert completion for a stage that actually HAS
+    // committed partitions — marking an empty-input stage complete would
+    // poison every future rerun (the marker skips recompute, the read of the
+    // empty stage then throws forever, and the corrected corpus never gets a
+    // chance to rewrite the layer).
+    def writeAndMark(df: DataFrame, key: String, stage: String): Unit = {
+      lake.resumableWrite(bucketed(df, key), "bucket", stage)
+      if (lake.committedPartitions(stage).nonEmpty) lake.markComplete(stage)
+    }
     if (!lake.isComplete("triples")) {
       if (lake.isComplete("mentions") && lake.isComplete("entities")) {
         val mentions = lake.read("mentions")
           .select("url", "warc_ts", "start", "end", "phrase_id", "label")
         val ents = lake.read("entities").select("phrase_id", "entity_id")
-        lake.resumableWrite(bucketed(Triples.materialize(mentions, ents, cfg.triple),
-          "subj"), "bucket", "triples")
-        lake.markComplete("triples")
+        writeAndMark(Triples.materialize(mentions, ents, cfg.triple), "subj", "triples")
       } else {
-        if (!lake.isComplete("cleaned")) {
-          lake.resumableWrite(bucketed(cleanedDocs(pages, cfg), "docId"), "bucket", "cleaned")
-          lake.markComplete("cleaned")
-        }
+        if (!lake.isComplete("cleaned"))
+          writeAndMark(cleanedDocs(pages, cfg), "docId", "cleaned")
         val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
         val p = buildFromCleaned(spark, docs,
           background.getOrElse(backgroundFromPages(pages, cfg)), cfg)
-        lake.resumableWrite(bucketed(p.mentions, "url"), "bucket", "mentions")
-        lake.markComplete("mentions")
-        lake.resumableWrite(bucketed(p.entities, "entity_id"), "bucket", "entities")
-        lake.markComplete("entities")
-        lake.resumableWrite(bucketed(p.triples, "subj"), "bucket", "triples")
-        lake.markComplete("triples")
+        writeAndMark(p.mentions, "url", "mentions")
+        writeAndMark(p.entities, "entity_id", "entities")
+        writeAndMark(p.triples, "subj", "triples")
       }
     }
     lake.read("triples")

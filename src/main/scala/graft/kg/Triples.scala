@@ -69,9 +69,16 @@ object Triples {
     // re-execute an unpersisted entity lineage in full), lazy, and
     // conservative: an unknown/overestimated size falls back to the shuffle
     // join, which AQE can still convert to a broadcast join at runtime from
-    // exact shuffle statistics.
+    // exact shuffle statistics. The 8× multiplier covers the systematic
+    // UNDERSHOOT of file-based estimates: for a parquet read-back the stats
+    // are compressed-and-projection-scaled file bytes, while the hashed
+    // relation lives on-heap as decompressed rows + hash structures — so the
+    // effective gate is broadcastEntityBytes/8 of estimated input, in line
+    // with Spark's own guidance of keeping autoBroadcastJoinThreshold far
+    // below executor memory for the same reason.
     val emBytes = em.queryExecution.optimizedPlan.stats.sizeInBytes
-    val emKeyed = if (emBytes <= BigInt(cfg.broadcastEntityBytes)) broadcast(em) else em
+    val emKeyed =
+      if (emBytes * 8 <= BigInt(cfg.broadcastEntityBytes)) broadcast(em) else em
     val m = mentions
       .join(emKeyed, Seq("phrase_id"), "left")
       .withColumn("entity_id", coalesce(col("entity_id"), col("phrase_id").cast("long")))

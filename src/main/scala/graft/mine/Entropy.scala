@@ -177,7 +177,17 @@ object Entropy {
       minN: Int, maxN: Int, cfg: EntropyConfig = EntropyConfig()): DataFrame = {
     val unigrams = Miner.mine(docs, tokensCol, Miner.MineConfig(1, 1, 1, ordered = false))
       .select("ngram", "count")
-    // one corpus scan for both entropy sides; GC-cleaned, unlike persist()
+    // One corpus scan for both entropy sides. localCheckpoint over persist()
+    // is a deliberate trade: blocks are freed by the ContextCleaner on GC
+    // (persist() entries are pinned by the CacheManager for the session —
+    // a leak across repeated calls with no natural unpersist point, since
+    // this function returns a lazy plan), at the cost of truncated lineage —
+    // on a multi-executor cluster, losing an executor AFTER materialization
+    // fails the downstream job instead of recomputing, and the materializing
+    // job runs eagerly here. Callers wanting fault-tolerant reuse at cluster
+    // scale should write boundedExtensions' output to a (lake) table instead
+    // and score() from the read-back — the same production answer as the
+    // pipeline's cleaned layer.
     val bounded = boundedExtensions(docs, tokensCol, candidates, minN, maxN, cfg)
       .localCheckpoint()
     score(candidates, unigrams,

@@ -144,19 +144,21 @@ object Similarity {
    */
   def ivfCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cfg: IvfConfig = IvfConfig(), nAssign: Int = 2): DataFrame = {
-    val (centroids, _) = ivfIndex(corpus, idCol, vecCol, cfg)
-    val base = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val multi = base.crossJoin(broadcast(centroids))
-      .withColumn("__cos", cosine(col("vec"), col("centroid")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("cell"))))
-      .filter(col("__rk") <= nAssign)
-      .select(col("id"), col("vec"), col("cell"))
-    blockedCosinePairs(multi, "cell", "id", "vec", threshold).distinct()
+    // reuse the SAME checkpointed projection the centroid training scanned —
+    // rebuilding it from `corpus` would re-run the source scan+cast while the
+    // materialized copy sits unused
+    val base = projectVecs(corpus, idCol, vecCol).localCheckpoint()
+    val centroids = trainCentroids(base, cfg)
+    blockedCosinePairs(assign(base, centroids, nAssign), "cell", "id", "vec", threshold)
+      .distinct()
   }
 
   final case class IvfConfig(nCells: Int = 16, lloydIter: Int = 3, nProbe: Int = 4)
+
+  /** (id, vec ARRAY<DOUBLE>) projection of an embedding table. */
+  private def projectVecs(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
 
   /** Deterministic IVF index: (cells DF (cell, centroid ARRAY<DOUBLE>),
    * assigned corpus DF (id, vec, cell)). */
@@ -165,12 +167,15 @@ object Similarity {
     // materialize the projected vector table once: it is scanned lloydIter+1
     // times (each Lloyd assign + the final assignment) — localCheckpoint blocks
     // are freed by the ContextCleaner when the index is GC'd
-    val base = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .localCheckpoint()
+    val base = projectVecs(corpus, idCol, vecCol).localCheckpoint()
+    val centroids = trainCentroids(base, cfg)
+    (centroids, assign(base, centroids))
+  }
 
-    // deterministic seed centroids: the nCells corpus vectors with the
-    // smallest xxhash64(id) — a seeded uniform sample, no Math.random
+  /** Seed + Lloyd-refine centroids over a materialized (id, vec) table.
+   * Deterministic seeds: the nCells vectors with the smallest xxhash64(id) —
+   * a seeded uniform sample, no Math.random. */
+  private def trainCentroids(base: DataFrame, cfg: IvfConfig): DataFrame = {
     var centroids = base
       .withColumn("__r", xxhash64(col("id")))
       .orderBy("__r").limit(cfg.nCells)
@@ -192,17 +197,19 @@ object Similarity {
           s => s.getField("m")).as("centroid"))
         .localCheckpoint()
     }
-    (centroids, assign(base, centroids))
+    centroids
   }
 
-  /** Assign each vector to its nearest centroid (max cosine; deterministic
-   * cell-id tie-break) — centroid table broadcast, no shuffle of the corpus. */
-  private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
+  /** Assign each vector to its `maxRank` nearest centroids (max cosine;
+   * deterministic cell-id tie-break) — centroid table broadcast, no shuffle
+   * of the corpus. maxRank = 1 is index assignment; > 1 is the multi-assign
+   * near-dup blocking. */
+  private def assign(base: DataFrame, centroids: DataFrame, maxRank: Int = 1): DataFrame =
     base.crossJoin(broadcast(centroids))
       .withColumn("__cos", cosine(col("vec"), col("centroid")))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("cell"))))
-      .filter(col("__rk") === 1)
+      .filter(col("__rk") <= maxRank)
       .select(col("id"), col("vec"), col("cell"))
 
   /**

@@ -29,9 +29,12 @@ import graft.tag.Tagger
  * checkpoint ONLY to replay the identical input set. To ingest NEW files
  * into a growing directory, KEEP the checkpoint (the normal production
  * mode): Structured Streaming then assigns the new files fresh batch ids,
- * which commit as fresh lake partitions. Wiping the checkpoint after the
- * input has grown would renumber batches from 0 and the ledger would
- * silently skip the new data as "already committed".
+ * which commit as fresh lake partitions. The contract is ENFORCED, not just
+ * documented: each commit also records the batch's content fingerprint in a
+ * `<stage>__batches` ledger stage, and a batch id arriving with a DIFFERENT
+ * fingerprint (the wiped-checkpoint-after-growth hazard, which would
+ * otherwise silently skip the new data as "already committed") fails the
+ * query loudly instead of losing data.
  */
 object MentionStream {
 
@@ -50,12 +53,45 @@ object MentionStream {
       .select(col("url"),
         col("s.start").as("start"), col("s.end").as("end"),
         col("s.phraseId").as("phrase_id"), col("s.label").as("label"))
-    val commit: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      val keyed = batch.withColumn("part",
-        concat_ws("-", lit(batchId),
-          pmod(xxhash64(col("url")), lit(buckets.toLong))))
-      lake.resumableWrite(keyed, "part", stage)
-      ()
+    val batchStage = s"${stage}__batches"
+    val commit: (DataFrame, Long) => Unit = { (batch0, batchId) =>
+      // persist: foreachBatch's DataFrame re-executes the batch transform per
+      // action, and we run two (fingerprint + write)
+      val batch = batch0.persist()
+      try {
+        // order-independent content fingerprint of the batch's mention set:
+        // xor-fold of row hashes + row count (xor alone would cancel
+        // duplicate rows pairwise; ANSI sum() would overflow)
+        val r = batch
+          .agg(coalesce(bit_xor(xxhash64(col("url"), col("start"), col("end"),
+              col("phrase_id"))), lit(0L)).as("x"),
+            count(lit(1)).as("n"))
+          .head()
+        val fp = r.getLong(0) ^ (r.getLong(1) * 0x9E3779B97F4A7C15L)
+        val key = s"$batchId:$fp"
+        val prior = lake.committedPartitions(batchStage).keySet
+          .filter(_.startsWith(s"$batchId:"))
+        if (prior.nonEmpty && !prior.contains(key))
+          throw new IllegalStateException(
+            s"mention-stream batch $batchId arrived with content fingerprint $key but the " +
+              s"ledger recorded ${prior.head}: the stream checkpoint was wiped while the " +
+              "input changed/grew — a bare replay would silently skip the new data. " +
+              "Restore the checkpoint, or ingest into a fresh stage.")
+        if (!prior.contains(key)) {
+          val keyed = batch.withColumn("part",
+            concat_ws("-", lit(batchId),
+              pmod(xxhash64(col("url")), lit(buckets.toLong))))
+          lake.resumableWrite(keyed, "part", stage)
+          // ledger AFTER data: a crash in between replays the batch (same
+          // fingerprint), resumableWrite skips the committed partitions, and
+          // the ledger lands on the retry
+          val session = batch.sparkSession
+          import session.implicits._
+          lake.resumableWrite(Seq(key).toDF("batch_key")
+            .withColumn("part", lit(key)), "part", batchStage)
+        }
+        ()
+      } finally { batch.unpersist(); () }
     }
     mentions.writeStream
       .foreachBatch(commit)

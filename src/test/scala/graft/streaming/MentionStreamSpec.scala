@@ -52,13 +52,28 @@ class MentionStreamSpec extends SparkSuite {
       .as[(String, Int, Int, Int)].collect().toSet
     assert(streamed == batch && batch.nonEmpty)
 
-    // replay with a WIPED checkpoint: batch ids restart at 0, every commit
-    // resolves to already-committed partition values → snapshot log unchanged
+    // replay with a WIPED checkpoint: batch ids restart at 0, fingerprints
+    // match the ledger, every commit is skipped → snapshot log unchanged
     val versionsBefore = lake.snapshots.map(_.version).max
     graft.util.Fs.rmrf(new java.io.File(s"$lakeRoot/_stream_checkpoint_mentions_stream"))
     runOnce()
     assert(lake.snapshots.map(_.version).max == versionsBefore,
       "replay must be a lake no-op")
+    assert(lake.read("mentions_stream").count() == streamed.size.toLong)
+
+    // wiped checkpoint + GROWN input: batch 0 now has a different content
+    // fingerprint than the ledger recorded — must fail LOUDLY (silent skip of
+    // the new files is the data-loss mode the ledger exists to prevent)
+    graft.util.Fs.rmrf(new java.io.File(s"$lakeRoot/_stream_checkpoint_mentions_stream"))
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang") =!= "en").limit(20)
+      .repartition(1).write.mode("append").parquet(docsDir)
+    val e = intercept[Exception] { runOnce() }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: chain(t.getCause)
+    assert(chain(e).exists(_.contains("checkpoint was wiped while the input")),
+      chain(e).toString)
+    // and the lake is untouched — no partial double-ingest
     assert(lake.read("mentions_stream").count() == streamed.size.toLong)
   }
 }
