@@ -82,6 +82,21 @@ object Bench {
     }
   }
 
+  private def pairsJson(pairs: Seq[(Double, Double, Double)]): String =
+    pairs.map(p => f"[${p._1}%.1f,${p._2}%.1f,${p._3}%.3f]").mkString("[", ",", "]")
+
+  /** Land a JSON snapshot in the output file. Called with `partial:true`
+   * documents after each long phase (a killed ~1 h run still leaves the
+   * scaling evidence on disk) and finally with the complete line; sbt's
+   * logger wrapping made round 2's stdout-only BENCH json unparseable, hence
+   * the file (VERDICT r2 #5). */
+  private def writeJson(json: String): Unit = {
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -127,12 +142,16 @@ object Bench {
     val medianPair = byEff((byEff.length - 1) / 2)
     val bestPair = byEff.filter(_._3 <= 1.02).lastOption.getOrElse(byEff.head)
     val (sThr2, sThr8, efficiency) = medianPair
+    // checkpoint the criterion numbers to disk NOW: the full run takes ~1 h
+    // on this host and a killed run should still leave the scaling evidence
+    writeJson(s"""{"partial":true,"phase":"pairs","pipeline":{"n_docs":$nDocs,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_pairs_thr2_thr8_eff":${pairsJson(pairs)}}}""")
     // single-job latency numbers for context + the 32-core headline
     // (best-of-3 at 32: single-job walls are 30-60 s, well inside one host
     // steal burst, so extra samples are cheap insurance)
     val (thr8, trip8) = pipelineRun(8, path, nDocs, nRuns = 2)
     val (thr32, trip32) = pipelineRun(32, path, nDocs, nRuns = 3)
     require(trip8 == trip32, s"nondeterministic triples: $trip8 / $trip32")
+    writeJson(s"""{"partial":true,"phase":"pipeline","metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","pipeline":{"n_docs":$nDocs,"triples":$trip32,"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_pairs_thr2_thr8_eff":${pairsJson(pairs)}}}""")
     // production path: one sample of the checkpoint-to-lake pipeline (the
     // cleaned/mention/entity/triple layers land in LakeTable snapshots, with
     // the read-back count over the published triple snapshot included) —
@@ -156,16 +175,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val pairsJson = pairs.map(p => f"[${p._1}%.1f,${p._2}%.1f,${p._3}%.3f]")
-      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"triples":$trip32,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"docs_per_sec_checkpointed_local32":${f"$thrCkpt%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"${bestPair._3}%.3f"},"scaling_pairs_thr2_thr8_eff":$pairsJson,"scaling_efficiency_8_to_32_single_job":${f"$efficiency8to32%.3f"},"pure_cpu_ceiling_8_to_32":${f"$hwCeiling%.3f"},"mem_bw_ceiling_2_to_8":${f"$bw2to8%.3f"},"mem_bw_ceiling_8_to_32":${f"$bw8to32%.3f"},"io_shuffle_ceiling_2_to_8":${f"$io2to8%.3f"},"io_shuffle_ceiling_8_to_32":${f"$io8to32%.3f"}},"queries_total_sec":${f"$total%.1f"}}"""
+      s"""{"metric":"docs_per_sec_triple_extraction","value":${f"$thr32%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"triples":$trip32,"sustained_docs_per_sec_local2":${f"$sThr2%.1f"},"sustained_docs_per_sec_local8":${f"$sThr8%.1f"},"docs_per_sec_local8":${f"$thr8%.1f"},"docs_per_sec_local32":${f"$thr32%.1f"},"docs_per_sec_checkpointed_local32":${f"$thrCkpt%.1f"},"scaling_efficiency_N2_to_4N8_sustained":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"${bestPair._3}%.3f"},"scaling_pairs_thr2_thr8_eff":${pairsJson(pairs)},"scaling_efficiency_8_to_32_single_job":${f"$efficiency8to32%.3f"},"pure_cpu_ceiling_8_to_32":${f"$hwCeiling%.3f"},"mem_bw_ceiling_2_to_8":${f"$bw2to8%.3f"},"mem_bw_ceiling_8_to_32":${f"$bw8to32%.3f"},"io_shuffle_ceiling_2_to_8":${f"$io2to8%.3f"},"io_shuffle_ceiling_8_to_32":${f"$io8to32%.3f"}},"queries_total_sec":${f"$total%.1f"}}"""
     println(json)
-    // also land the line in a file: sbt's logger wrapping made round 2's
-    // BENCH json unparseable from stdout alone (VERDICT r2 #5)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+    writeJson(json)
     spark.stop()
   }
 
