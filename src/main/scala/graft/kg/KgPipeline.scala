@@ -212,6 +212,12 @@ object KgPipeline {
         writeAndMark(p.mentions, "url", "mentions")
         writeAndMark(p.entities, "entity_id", "entities")
         writeAndMark(p.triples, "subj", "triples")
+        // every layer is on disk now — release the build's persisted
+        // intermediates (scored/mentions/entities); without this, repeated
+        // checkpointed runs in one session pin dead caches in the
+        // CacheManager until the session stops
+        p.phrases.unpersist(); p.mentions.unpersist()
+        p.entities.unpersist(); p.docs.unpersist()
       }
     }
     lake.read("triples")

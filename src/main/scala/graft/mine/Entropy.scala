@@ -78,17 +78,24 @@ object Entropy {
    */
   def boundedExtensions(docs: DataFrame, tokensCol: String, candidates: DataFrame,
       minN: Int, maxN: Int, cfg: EntropyConfig = EntropyConfig()): DataFrame = {
-    val candKeys = candidates.select(col("ngram").as("__cand"))
+    // distinct + localCheckpoint: a duplicate candidate ngram would MULTIPLY
+    // adjacent grams through the restriction joins (silently doubling their
+    // counts), and without materialization the candidate lineage (typically a
+    // full mine) would re-execute for the count gate and BOTH broadcast
+    // builds — three extra upstream runs. The table is candidate-scale
+    // (thresholded), so the eager checkpoint is cheap.
+    val candKeys = candidates.select(col("ngram").as("__cand")).distinct()
+      .localCheckpoint()
     val grams = docs
       .select(explode(Miner.ngramsCol(col(tokensCol), minN + 1, maxN + 1)).as("g"))
       .select(col("g"), split(col("g"), " ").as("tk"))
       .select(col("g"),
         array_join(slice(col("tk"), lit(1), size(col("tk")) - 1), " ").as("prefix"),
         array_join(slice(col("tk"), lit(2), size(col("tk")) - 1), " ").as("suffix"))
-    // candidates are the ALREADY-THRESHOLDED mined phrase table (usually
-    // persisted by the caller); the count gates the broadcast like Miner's
-    // survivor guard
-    val nCand = candidates.count()
+    // candidates are the ALREADY-THRESHOLDED mined phrase table; the count
+    // gates the broadcast like Miner's survivor guard (cheap: counts the
+    // checkpointed blocks, not the candidate lineage)
+    val nCand = candKeys.count()
     if (nCand <= cfg.broadcastCandidateLimit) {
       grams
         .join(broadcast(candKeys.select(col("__cand").as("prefix"), lit(1).as("__p"))),

@@ -59,12 +59,13 @@ object MentionStream {
       // action, and we run two (fingerprint + write)
       val batch = batch0.persist()
       try {
-        // order-independent content fingerprint of the batch's mention set:
-        // xor-fold of row hashes + row count (xor alone would cancel
-        // duplicate rows pairwise; ANSI sum() would overflow)
+        // order-independent content fingerprint of the batch's FULL mention
+        // rows (label included — a rebuilt model changing only labels is
+        // changed content too): xor-fold of row hashes + row count (xor alone
+        // would cancel duplicate rows pairwise; ANSI sum() would overflow)
         val r = batch
           .agg(coalesce(bit_xor(xxhash64(col("url"), col("start"), col("end"),
-              col("phrase_id"))), lit(0L)).as("x"),
+              col("phrase_id"), col("label"))), lit(0L)).as("x"),
             count(lit(1)).as("n"))
           .head()
         val fp = r.getLong(0) ^ (r.getLong(1) * 0x9E3779B97F4A7C15L)
@@ -77,19 +78,23 @@ object MentionStream {
               s"ledger recorded ${prior.head}: the stream checkpoint was wiped while the " +
               "input changed/grew — a bare replay would silently skip the new data. " +
               "Restore the checkpoint, or ingest into a fresh stage.")
+        // INTENT-FIRST ordering: the ledger entry lands BEFORE the data
+        // commit. A crash after the intent replays the batch (same
+        // fingerprint → proceeds; resumableWrite is idempotent per
+        // partition). Data-before-ledger would open a crash window where a
+        // committed batch has no ledger entry, and a later wiped-checkpoint
+        // replay of GROWN input would pass the check and silently skip the
+        // new rows — the exact loss mode this ledger exists to prevent.
         if (!prior.contains(key)) {
-          val keyed = batch.withColumn("part",
-            concat_ws("-", lit(batchId),
-              pmod(xxhash64(col("url")), lit(buckets.toLong))))
-          lake.resumableWrite(keyed, "part", stage)
-          // ledger AFTER data: a crash in between replays the batch (same
-          // fingerprint), resumableWrite skips the committed partitions, and
-          // the ledger lands on the retry
           val session = batch.sparkSession
           import session.implicits._
           lake.resumableWrite(Seq(key).toDF("batch_key")
             .withColumn("part", lit(key)), "part", batchStage)
         }
+        val keyed = batch.withColumn("part",
+          concat_ws("-", lit(batchId),
+            pmod(xxhash64(col("url")), lit(buckets.toLong))))
+        lake.resumableWrite(keyed, "part", stage)
         ()
       } finally { batch.unpersist(); () }
     }

@@ -70,6 +70,14 @@ class EntropySpec extends SparkSuite {
       s"expected broadcast restriction joins BELOW the gram aggregate:\n$plan")
   }
 
+  test("duplicate candidate rows do not inflate extension counts") {
+    val dup = Seq(("a b", 4L), ("a b", 4L)).toDF("ngram", "count")
+    val rows = Entropy.boundedExtensions(docs, "t", dup, 2, 2)
+      .select("ngram", "count", "p", "s").as[(String, Long, Int, Int)].collect().toSet
+    assert(rows == Set(("a b c", 2L, 1, 0), ("a b x", 1L, 1, 0), ("z a b", 1L, 0, 1)),
+      rows.toString)
+  }
+
   test("filterCandidates == legacy unbounded-extension scoring (same corpus)") {
     val bounded = Entropy.filterCandidates(docs, "t", cands, 2, 2)
       .select("ngram", "pmi", "left_entropy", "right_entropy")
