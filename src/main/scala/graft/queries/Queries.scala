@@ -348,6 +348,40 @@ FROM documents GROUP BY 1 ORDER BY h""")),
   CAST(length(text) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id""")),
 
+    // Text analysis: BPE-ish subword segmentation count — a GPT-2-style
+    // pretokenizer regex (contraction suffixes | space?-letter-runs |
+    // space?-digit-runs | space?-punct-runs | whitespace runs), kept to
+    // syntax shared by Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+    // leftmost alternation. The subword count is the standard cheap token-
+    // budget estimator for LLM training-data accounting.
+    ("ta_subword_count",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents").select(
+            col("doc_id"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"), lit(0)))
+              .cast("long").as("subwords"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS BIGINT) AS subwords
+FROM documents ORDER BY doc_id""")),
+
+    // Set ops / joins: LEFT ANTI (NOT IN) — customers with no URGENT orders.
+    // (Plain customers-without-orders is VACUOUS on this generator — every
+    // custkey appears in orders at both verify SFs — so the right side is
+    // filtered to make the anti-join genuinely selective: 18/150 rows at
+    // sf0.001, 203/1500 at sf0.01.)
+    ("q7_antijoin",
+      (s: SparkSession, dir: String) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey""")),
+
     // Text analysis: quality scoring (length/stopword/uniqueness ratios)
     ("ta_quality",
       (s: SparkSession, dir: String) => {
