@@ -508,6 +508,24 @@ GROUP BY 1, 2 ORDER BY 1, 2""")),
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY total DESC, c_custkey LIMIT 10""")),
 
+    // Classic OLAP: ROLLUP grouping sets (subtotals + grand total). Rollup
+    // null keys are coalesced to a sentinel in BOTH engines so the compare
+    // never depends on engine null-ordering.
+    ("q8_rollup",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("sum_qty"), col("n"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY 1, 2""")),
+
     // Classic: window function (per-key top-k)
     ("q3_window_orders",
       (s: SparkSession, dir: String) =>
