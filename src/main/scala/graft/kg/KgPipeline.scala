@@ -207,8 +207,30 @@ object KgPipeline {
         if (!lake.isComplete("cleaned"))
           writeAndMark(cleanedDocs(pages, cfg), "docId", "cleaned")
         val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
-        val p = buildFromCleaned(spark, docs,
-          background.getOrElse(backgroundFromPages(pages, cfg)), cfg)
+        // The background n-gram table derives from the SAME pages snapshot as
+        // the cleaned layer — commit it alongside, and feed scoring from its
+        // read-back. A resume whose `pages` argument changed would otherwise
+        // recompute the background from the NEW corpus while docs come from
+        // the OLD committed cleaned layer, silently shifting salience
+        // thresholds and the phrase set (round-3 ADVICE). An all-`lang`
+        // corpus has an EMPTY background: the marker still lands (the empty
+        // state is itself the committed decision) and resume feeds an empty
+        // frame instead of recomputing from the possibly-changed input.
+        if (!lake.isComplete("background")) {
+          lake.resumableWrite(
+            bucketed(background.getOrElse(backgroundFromPages(pages, cfg)), "ngram"),
+            "bucket", "background")
+          lake.markComplete("background")
+        }
+        val bg =
+          if (lake.committedPartitions("background").nonEmpty)
+            lake.read("background").select("ngram", "count")
+          else {
+            import org.apache.spark.sql.types._
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("ngram", StringType), StructField("count", LongType))))
+          }
+        val p = buildFromCleaned(spark, docs, bg, cfg)
         writeAndMark(p.mentions, "url", "mentions")
         writeAndMark(p.entities, "entity_id", "entities")
         writeAndMark(p.triples, "subj", "triples")

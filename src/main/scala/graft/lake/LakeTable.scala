@@ -1,6 +1,7 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.ConcurrentModificationException
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,19 +11,37 @@ import org.apache.spark.sql.functions._
  * §4.3): partitioned parquet data files + an ordered JSON snapshot log giving
  *
  *  - atomic commits: data is written to an immutable per-commit directory first,
- *    then the snapshot JSON is moved into place with an atomic rename — readers
- *    resolve the table through the snapshot log only, so a crash mid-write
- *    leaves the previous snapshot intact (write-audit-publish);
+ *    then the snapshot JSON is linked into the log with create-if-absent
+ *    semantics — readers resolve the table through the snapshot log only, so a
+ *    crash mid-write leaves the previous snapshot intact (write-audit-publish);
+ *  - optimistic concurrency (Iceberg-style commit protocol): the snapshot file
+ *    for version N can only be created, never replaced; a second writer racing
+ *    to the same version loses the link, re-reads the log, re-validates its
+ *    commit against the merged state and retries at the new head — two writers
+ *    on one lake root can no longer silently erase each other's snapshots;
  *  - per-partition lineage + metrics: every snapshot records, per partition
  *    value, the data path, row count and stage name that produced it;
  *  - exact resume: `resumableWrite` consults the completed-partition set of the
- *    stage and computes ONLY missing partitions (kill/rerun tested in LakeSpec).
+ *    stage and computes ONLY missing partitions (kill/rerun tested in LakeSpec);
+ *  - bounded metadata: the parsed log is cached per instance (a long-running
+ *    MentionStream ingest calls `committedPartitions` every micro-batch — the
+ *    round-3 O(batches²) re-parse is gone) and `compactMetadata()` folds the
+ *    accumulated per-commit files into one checkpoint (Iceberg
+ *    expire_snapshots / manifest-list rollup analog).
  *
  * The snapshot schema mirrors the reference's manifest style
  * (ext/phrasekit/src/manifest.rs:7-16: version/counts/invariants as a JSON
  * sidecar), extended with partition entries.
+ *
+ * @param maxPartitionsPerWrite loud-failure bound on the distinct partition
+ *   values a single write may commit: the snapshot log keys lineage per VALUE,
+ *   so a caller partitioning by a raw high-cardinality key (url…) would
+ *   collect the corpus' distinct values onto the driver and flood the log —
+ *   bucket the key (pmod(xxhash64(col), n)) instead, as every shipped caller
+ *   does. Mirrors Miner.broadcastSurvivorLimit's guard style.
  */
-final class LakeTable(spark: SparkSession, val root: String) {
+final class LakeTable(spark: SparkSession, val root: String,
+    val maxPartitionsPerWrite: Int = 10000) {
 
   private val snapDir = Paths.get(root, "snapshots")
   private val dataDir = Paths.get(root, "data")
@@ -35,25 +54,76 @@ final class LakeTable(spark: SparkSession, val root: String) {
     def totalRows: Long = partitions.map(_.rows).sum
   }
 
-  // ---- snapshot log ----
+  // ---- snapshot log (cached per instance; version-ordered NUMERICALLY —
+  // a lexicographic sort of the %05d-padded names would order 100000 before
+  // 99999, regress `latest`, and clobber an existing version) ----
 
-  def snapshots: Seq[Snapshot] =
-    Files.list(snapDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.matches("snapshot-\\d+\\.json"))
-      .sortBy(_.getFileName.toString)
-      .map(p => parseSnapshot(Files.readString(p)))
+  private val SnapRe = "snapshot-(\\d+)\\.json".r
+  private val CkptRe = "checkpoint-(\\d+)\\.json".r
+
+  private var loaded = false
+  private var logCache: Vector[Snapshot] = Vector.empty
+  private var ckptVersion: Int = 0
+  /** Snapshot-JSON parse counter (test hook: MentionStreamSpec pins that a
+   * long ingest does O(1) parses per batch, not O(log size)). */
+  private[graft] var parseCount = 0L
+
+  private def snapName(v: Int): String = f"snapshot-$v%05d.json"
+  private def ckptName(v: Int): String = f"checkpoint-$v%05d.json"
+
+  private def listLog(): Vector[(String, Path)] =
+    Files.list(snapDir).iterator().asScala
+      .map(p => p.getFileName.toString -> p).toVector
+
+  private def ensureLoaded(): Unit = synchronized {
+    if (loaded) return
+    val names = listLog()
+    val ckpt = names.collect { case (CkptRe(v), p) => (v.toLong, p) }
+      .sortBy(_._1).lastOption
+    ckptVersion = ckpt.map(_._1.toInt).getOrElse(0)
+    val fromCkpt = ckpt.toVector.flatMap { case (_, p) =>
+      Files.readString(p).linesIterator.drop(1) // line 0: checkpoint header
+        .filter(_.nonEmpty).map(parseSnapshot).toVector
+    }
+    val loose = names
+      .collect { case (SnapRe(v), p) if v.toLong > ckptVersion => (v.toLong, p) }
+      .sortBy(_._1)
+      .map { case (_, p) => parseSnapshot(Files.readString(p)) }
+    logCache = (fromCkpt ++ loose).sortBy(_.version)
+    loaded = true
+  }
+
+  def snapshots: Seq[Snapshot] = synchronized { ensureLoaded(); logCache }
+
+  /** Drop the in-process log cache; the next read re-scans the directory
+   * (reopen semantics — needed after ANOTHER writer committed to this root). */
+  def refresh(): Unit = synchronized { loaded = false }
 
   def latest: Option[Snapshot] = snapshots.lastOption
+
+  private def nextVersion: Int = synchronized {
+    ensureLoaded()
+    math.max(ckptVersion, logCache.lastOption.map(_.version).getOrElse(0)) + 1
+  }
 
   /** All partitions ever committed for a stage (across snapshots), latest wins. */
   def committedPartitions(stage: String): Map[String, PartitionEntry] =
     committedPartitionsAsOf(stage, Int.MaxValue)
 
   /** Partition state as of snapshot `asOfVersion` (inclusive): among snapshots
-   * with version ≤ asOfVersion, latest entry per partition value wins. */
-  def committedPartitionsAsOf(stage: String, asOfVersion: Int): Map[String, PartitionEntry] =
-    snapshots.filter(s => s.stage == stage && s.version <= asOfVersion)
+   * with version ≤ asOfVersion, latest entry per partition value wins.
+   * Versions below the metadata-checkpoint horizon are EXPIRED (their
+   * per-commit files were folded by compactMetadata) and fail loudly. */
+  def committedPartitionsAsOf(stage: String, asOfVersion: Int): Map[String, PartitionEntry] = {
+    val snaps = snapshots
+    synchronized {
+      require(asOfVersion == Int.MaxValue || asOfVersion >= ckptVersion,
+        s"time travel to v$asOfVersion is expired: the metadata log of $root was " +
+          s"compacted at v$ckptVersion (compactMetadata folds history below its horizon)")
+    }
+    snaps.filter(s => s.stage == stage && s.version <= asOfVersion)
       .flatMap(_.partitions.map(e => e.value -> e)).toMap
+  }
 
   // ---- reads ----
 
@@ -64,7 +134,8 @@ final class LakeTable(spark: SparkSession, val root: String) {
    * snapshot `asOfVersion` committed. Entries superseded by later rewrites
    * resolve back to their old data paths — commit directories are immutable
    * and never garbage-collected by this class, so every published snapshot
-   * stays readable. */
+   * stays readable until compactMetadata expires the history below its
+   * horizon. */
   def read(stage: String, asOfVersion: Int): DataFrame = {
     val parts = committedPartitionsAsOf(stage, asOfVersion).values.toSeq
     require(parts.nonEmpty,
@@ -101,7 +172,15 @@ final class LakeTable(spark: SparkSession, val root: String) {
   private def write(df: DataFrame, partitionCol: String, stage: String,
       force: Boolean): Option[Snapshot] = {
     val done = if (force) Set.empty[String] else committedPartitions(stage).keySet
-    val allValRows = df.select(col(partitionCol).cast("string")).distinct().collect()
+    // bounded collect: limit(max+1) caps the driver transfer, the length check
+    // turns an over-wide partition column into a diagnostic instead of an OOM
+    val allValRows = df.select(col(partitionCol).cast("string")).distinct()
+      .limit(maxPartitionsPerWrite + 1).collect()
+    require(allValRows.length <= maxPartitionsPerWrite,
+      s"partition column '$partitionCol' has more than $maxPartitionsPerWrite " +
+        s"distinct values — the snapshot log records lineage per VALUE, so a " +
+        s"raw high-cardinality key floods the driver and the log. Bucket it " +
+        s"(pmod(xxhash64(col(\"$partitionCol\")), n)) or raise maxPartitionsPerWrite.")
     require(!allValRows.exists(_.isNullAt(0)),
       s"null value in partition column '$partitionCol' — the snapshot log keys " +
         "resume on partition VALUES; filter nulls out or fill them before writing")
@@ -109,8 +188,10 @@ final class LakeTable(spark: SparkSession, val root: String) {
     val todo = allVals.filterNot(done)
     if (todo.isEmpty) return None
 
-    val version = latest.map(_.version + 1).getOrElse(1)
-    val commitDir = dataDir.resolve(f"v$version%05d-$stage")
+    // unique per-commit directory: two racing writers must never share a data
+    // dir even when they race to the same snapshot version (the loser's
+    // snapshot retries at a new version but its files are already on disk)
+    val commitDir = Files.createTempDirectory(dataDir, f"v$nextVersion%05d-$stage-")
     val pending = df
       .filter(col(partitionCol).cast("string").isin(todo.toIndexedSeq: _*))
       .withColumn("__part", col(partitionCol).cast("string"))
@@ -132,10 +213,20 @@ final class LakeTable(spark: SparkSession, val root: String) {
       val rows = counts.getOrElse(v, throw new IllegalStateException(
         s"no rows read back for partition '$v' under $commitDir"))
       PartitionEntry(v, dir.toString, rows)
-    }
+    }.toIndexedSeq
 
-    val snap = Snapshot(version, stage, partitionCol, entries.toIndexedSeq)
-    publish(snap)
+    // OCC publish: on a version collision with a concurrent writer, re-read
+    // the log and re-validate — if the other writer committed any of OUR
+    // partition values for this stage, resuming would double-commit them;
+    // fail loudly and let the caller rerun against the merged state.
+    val snap = publishOcc(v => Snapshot(v, stage, partitionCol, entries), () =>
+      if (!force) {
+        val clash = todo.filter(committedPartitions(stage).keySet)
+        if (clash.nonEmpty) throw new ConcurrentModificationException(
+          s"concurrent writer committed partition(s) ${clash.take(5).mkString(", ")} " +
+            s"of stage '$stage' during this write — rerun resumableWrite to " +
+            "resume from the merged snapshot state")
+      })
     Some(snap)
   }
 
@@ -155,17 +246,55 @@ final class LakeTable(spark: SparkSession, val root: String) {
     sb.toString
   }
 
-  /** Compaction: rewrite the CURRENT state of a stage as one fresh commit —
-   * one contiguous file set per partition — superseding the accumulated
-   * incremental commits under latest-wins resolution. Earlier snapshots stay
-   * time-travelable (`read(stage, v)`); commit directories are never deleted
-   * here. The small-files answer for long-running resumable/streaming stages
-   * (MentionStream's per-batch commits in particular). */
+  /** DATA compaction: rewrite the CURRENT state of a stage as one fresh
+   * commit — one contiguous file set per partition — superseding the
+   * accumulated incremental commits under latest-wins resolution. Earlier
+   * snapshots stay time-travelable (`read(stage, v)`); commit directories are
+   * never deleted here. The small-files answer for long-running resumable/
+   * streaming stages (MentionStream's per-batch commits in particular);
+   * pair with compactMetadata() to also bound the snapshot log itself. */
   def compact(stage: String): Option[Snapshot] = {
     val pc = snapshots.filter(_.stage == stage).lastOption
       .map(_.partitionCol)
       .getOrElse(throw new IllegalArgumentException(s"no snapshots for stage '$stage'"))
     rewritePartitions(read(stage), pc, stage)
+  }
+
+  /** METADATA compaction + snapshot expiry (Iceberg expire_snapshots /
+   * manifest-list rollup analog): fold the whole snapshot log into ONE
+   * checkpoint file — latest-wins partition state per stage, completion
+   * markers preserved — and delete the per-commit snapshot files it covers.
+   * Bounds the driver-side list+parse work of a long-running ingest
+   * (MentionStream publishes 2 snapshots per micro-batch; 10k batches would
+   * otherwise mean a 20k-file log scan on every reopen). Data directories
+   * are untouched; reads at or after the horizon resolve identically; time
+   * travel BELOW the horizon is expired and fails loudly. */
+  def compactMetadata(): Unit = synchronized {
+    ensureLoaded()
+    if (logCache.isEmpty) return
+    val horizon = math.max(ckptVersion, logCache.last.version)
+    val folded = logCache.groupBy(_.stage).toVector.map { case (stage, snapsUnsorted) =>
+      val snaps = snapsUnsorted.sortBy(_.version)
+      val latestWins = snaps.flatMap(_.partitions.map(e => e.value -> e)).toMap
+      Snapshot(snaps.last.version, stage, snaps.last.partitionCol,
+        latestWins.values.toVector.sortBy(_.value))
+    }.sortBy(_.version)
+    val body = (s"""{"checkpoint_version": $horizon}""" +: folded.map(renderSnapshot))
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(snapDir, ".tmp-checkpoint", ".json")
+    Files.writeString(tmp, body)
+    try Files.createLink(snapDir.resolve(ckptName(horizon)), tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new ConcurrentModificationException(
+          s"checkpoint at v$horizon already exists under $root — concurrent compactMetadata")
+    } finally { Files.deleteIfExists(tmp); () }
+    listLog().foreach {
+      case (SnapRe(v), p) if v.toLong <= horizon => Files.delete(p)
+      case (CkptRe(v), p) if v.toLong < horizon => Files.delete(p)
+      case _ => ()
+    }
+    loaded = false
   }
 
   /** Stage-completion marker: a zero-partition snapshot recording that
@@ -175,18 +304,45 @@ final class LakeTable(spark: SparkSession, val root: String) {
    * the stage's full upstream lineage. The marker lets resume logic skip the
    * recomputation entirely (KgPipeline.runCheckpointed consults it before
    * building each layer). */
-  def markComplete(stage: String): Unit =
-    publish(Snapshot(latest.map(_.version + 1).getOrElse(1), s"__done__$stage", "", Nil))
+  def markComplete(stage: String): Unit = {
+    publishOcc(v => Snapshot(v, s"__done__$stage", "", Nil), () => ())
+    ()
+  }
 
   def isComplete(stage: String): Boolean =
     snapshots.exists(_.stage == s"__done__$stage")
 
-  /** Atomic publish: write to tmp, move into the log with ATOMIC_MOVE. */
-  private def publish(s: Snapshot): Unit = {
+  /** Optimistic-concurrency publish: build the snapshot at the current head
+   * version and link it create-if-absent; on a collision with a concurrent
+   * writer, re-scan the log, let `recheck` veto the retry (same-stage overlap
+   * → ConcurrentModificationException) and retry at the new head. */
+  private def publishOcc(mk: Int => Snapshot, recheck: () => Unit): Snapshot = {
+    var attempts = 0
+    while (attempts < 50) {
+      val s = mk(nextVersion)
+      try { publishAt(s); return s }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          refresh()
+          recheck()
+      }
+    }
+    throw new IllegalStateException(
+      s"could not publish a snapshot after $attempts attempts under $root — " +
+        "livelocked against concurrent writers")
+  }
+
+  /** Atomic create-if-absent publish: write to tmp, hard-link into the log.
+   * createLink fails with FileAlreadyExistsException if snapshot-N exists —
+   * unlike ATOMIC_MOVE, which on Linux silently REPLACES the target and
+   * would let two writers erase each other's committed snapshots. */
+  private def publishAt(s: Snapshot): Unit = synchronized {
     val tmp = Files.createTempFile(snapDir, ".tmp-snapshot", ".json")
     Files.writeString(tmp, renderSnapshot(s))
-    Files.move(tmp, snapDir.resolve(f"snapshot-${s.version}%05d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(snapDir.resolve(snapName(s.version)), tmp)
+    finally { Files.deleteIfExists(tmp); () }
+    if (loaded) logCache = logCache :+ s
   }
 
   // ---- canonical JSON (stable field order — determinism contract §7.7) ----
@@ -207,6 +363,7 @@ final class LakeTable(spark: SparkSession, val root: String) {
 
   // minimal parser for our own canonical output (no JSON lib offline)
   private def parseSnapshot(json: String): Snapshot = {
+    parseCount += 1
     def str(k: String, src: String): String = {
       val m = ("\"" + k + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(src)
       m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse(

@@ -13,11 +13,12 @@ import graft.plans.GraftFunctions
  *    a window per query — the baseline, O(|queries| × |corpus|).
  *  - `ivfTopK`: IVF (inverted-file) ANN — the scale path. Centroids are
  *    seeded deterministically from the corpus (hash-ranked sample) and refined
- *    with a fixed number of Lloyd iterations (groupBy-mean — one shuffle per
- *    iteration); vectors are assigned to their nearest centroid (broadcast
- *    centroid table, pure column math); at query time only the `nProbe`
- *    nearest cells per query are scanned. Recall measured against the exact
- *    baseline in SimilaritySpec.
+ *    with a fixed number of Lloyd iterations (groupBy-mean over centroid-scale
+ *    rows — one shuffle per iteration, never of the corpus); vectors are
+ *    assigned to their nearest centroid by a narrow mapPartitions argmax over
+ *    the broadcast centroid matrix (zero corpus exchanges, plan-pinned); at
+ *    query time only the `nProbe` nearest cells per query are scanned. Recall
+ *    measured against the exact baseline in SimilaritySpec.
  *
  * All vector math goes through `graft_vdot`, a native codegen Catalyst
  * expression (graft.plans.VectorDot) — zip_with/aggregate lambdas evaluate
@@ -201,16 +202,62 @@ object Similarity {
   }
 
   /** Assign each vector to its `maxRank` nearest centroids (max cosine;
-   * deterministic cell-id tie-break) — centroid table broadcast, no shuffle
-   * of the corpus. maxRank = 1 is index assignment; > 1 is the multi-assign
-   * near-dup blocking. */
-  private def assign(base: DataFrame, centroids: DataFrame, maxRank: Int = 1): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("__cos", cosine(col("vec"), col("centroid")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("cell"))))
-      .filter(col("__rk") <= maxRank)
-      .select(col("id"), col("vec"), col("cell"))
+   * deterministic cell-id tie-break, NaN ranked first to mirror Spark's
+   * NaN-greatest descending sort) — the centroid MATRIX (nCells × dims
+   * doubles, tiny by construction) is collected and broadcast, and the
+   * per-row arg-top-maxRank is computed NARROWLY in one mapPartitions pass.
+   * ZERO exchanges of the corpus: the round-3 crossJoin+window formulation
+   * planned an Exchange hashpartitioning(id) of N×nCells full-vector rows
+   * per Lloyd iteration, which at 10⁹ vectors is the dominant cost of the
+   * whole index build (round-3 verdict #1); the plan shape is pinned in
+   * SimilarityPlansSpec. maxRank = 1 is index assignment; > 1 is the
+   * multi-assign near-dup blocking. */
+  private def assign(base: DataFrame, centroids: DataFrame, maxRank: Int = 1): DataFrame = {
+    val spark = base.sparkSession
+    val cents: Array[(Int, Array[Double], Double)] = centroids
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (r.getInt(0), v, math.sqrt(s))
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val k = math.min(maxRank, cents.length)
+    val vecIdx = base.schema.fieldIndex("vec")
+    val outSchema = org.apache.spark.sql.types.StructType(base.schema.fields :+
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    // (cos desc with NaN first — java.lang.Double.compare treats NaN as
+    // largest, matching Spark's desc ordering — then cell asc)
+    val ord = new Ordering[(Int, Double)] {
+      def compare(a: (Int, Double), b: (Int, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else Integer.compare(a._1, b._1)
+      }
+    }
+    base.mapPartitions { rows =>
+      val cs = bc.value
+      rows.flatMap { row =>
+        val v = row.getSeq[Double](vecIdx).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nv = math.sqrt(s)
+        val scored = cs.map { case (cell, cv, nc) =>
+          var d = 0.0; var j = 0
+          val n = math.min(v.length, cv.length)
+          while (j < n) { d += v(j) * cv(j); j += 1 }
+          (cell, d / (nv * nc))
+        }
+        scored.sorted(ord).iterator.take(k).map(t =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ t._1))
+      }
+    }
+  }
 
   /**
    * IVF ANN query: scan only the nProbe nearest cells per query.

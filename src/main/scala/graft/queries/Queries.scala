@@ -352,18 +352,21 @@ FROM documents ORDER BY doc_id""")),
     // pretokenizer regex (contraction suffixes | space?-letter-runs |
     // space?-digit-runs | space?-punct-runs | whitespace runs), kept to
     // syntax shared by Java regex (Spark) and RE2 (DuckDB): no lookarounds,
-    // leftmost alternation. The subword count is the standard cheap token-
-    // budget estimator for LLM training-data accounting.
+    // leftmost alternation, and an EXPLICIT whitespace class `[ \t\n\f\r]`
+    // instead of `\s` — Java's ASCII \s includes \x0B (vertical tab) while
+    // RE2's does not, so the shorthand would silently diverge on documents
+    // containing it (round-3 ADVICE). The subword count is the standard cheap
+    // token-budget estimator for LLM training-data accounting.
     ("ta_subword_count",
       (s: SparkSession, dir: String) =>
         table(s, dir, "documents").select(
             col("doc_id"),
             size(regexp_extract_all(lower(col("text")),
-              lit("'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"), lit(0)))
+              lit("'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\f\\r']+"), lit(0)))
               .cast("long").as("subwords"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
-  CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS BIGINT) AS subwords
+  CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r'']+')) AS BIGINT) AS subwords
 FROM documents ORDER BY doc_id""")),
 
     // Set ops / joins: LEFT ANTI (NOT IN) — customers with no URGENT orders.
@@ -765,6 +768,30 @@ p AS (SELECT a.vec_id AS a, b.vec_id AS b,
     sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) /
     (sqrt(sum(CAST(a.embedding[i] AS DOUBLE)**2)) * sqrt(sum(CAST(b.embedding[i] AS DOUBLE)**2))) AS cos
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, pos
+  GROUP BY 1, 2)
+SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.3 ORDER BY a, b""")),
+
+    // UNBLOCKED corpus-scale near-dup through the IVF-bucketed path, driven in
+    // its provably-EXACT configuration (nAssign = nCells: every vector lands
+    // in every cell, so each pair is verified in at least one shared cell and
+    // distinct() collapses the duplicates — the cos is bit-identical per pair).
+    // This gives the multi-assign IVF blocking machinery (centroid training,
+    // narrow assignment, per-cell exact verification, pair dedup) a
+    // hash-checked row against the no-blocking all-pairs SQL; the APPROXIMATE
+    // configuration (nAssign < nCells, the 100-TB path) is recall-pinned in
+    // SimilarityPlansSpec.
+    ("dd_ivf_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.ivfCosinePairs(table(s, dir, "embeddings"),
+            "vec_id", "embedding", 0.3,
+            graft.ops.Similarity.IvfConfig(nCells = 4, lloydIter = 1), nAssign = 4)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+          .orderBy("a", "b"),
+      Some("""WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) /
+    (sqrt(sum(CAST(a.embedding[i] AS DOUBLE)**2)) * sqrt(sum(CAST(b.embedding[i] AS DOUBLE)**2))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, pos
   GROUP BY 1, 2)
 SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.3 ORDER BY a, b""")),
 

@@ -46,8 +46,15 @@ object MentionStream {
    */
   def toLake(spark: SparkSession, docs: Dataset[Doc], bc: Broadcast[TagModel],
       lakeRoot: String, buckets: Int = 4, stage: String = "mentions_stream",
-      cfg: Tagger.TagConfig = Tagger.TagConfig()): StreamingQuery = {
-    val lake = new LakeTable(spark, lakeRoot)
+      cfg: Tagger.TagConfig = Tagger.TagConfig(),
+      table: Option[LakeTable] = None): StreamingQuery = {
+    // ONE LakeTable for the whole stream: its parsed-snapshot cache makes the
+    // per-batch committedPartitions/ledger lookups O(1) driver work — the
+    // round-3 rescan-per-call was O(batches²) JSON parsing over a long ingest
+    // (parse-count pinned in MentionStreamSpec). Callers may inject their own
+    // instance to share the cache (single writer per root — LakeTable's OCC
+    // publish turns a violation into a loud error, not silent loss).
+    val lake = table.getOrElse(new LakeTable(spark, lakeRoot))
     val mentions = Tagger.tag(spark, docs, bc, cfg).toDF()
       .select(col("docId").as("url"), explode(col("spans")).as("s"))
       .select(col("url"),

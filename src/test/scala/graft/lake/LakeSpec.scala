@@ -118,6 +118,117 @@ class LakeSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.read("y"))
   }
 
+  test("version ordering is numeric, not lexicographic (100000 > 99999)") {
+    // %05d padding stops at 5 digits: 'snapshot-100000.json' sorts BEFORE
+    // 'snapshot-99999.json' lexicographically, which would regress `latest`
+    // and make the next write reuse (and under ATOMIC_MOVE, silently clobber)
+    // an existing version (round-3 ADVICE).
+    val root = tmpRoot()
+    val snapDir = Paths.get(root, "snapshots")
+    Files.createDirectories(snapDir)
+    Files.writeString(snapDir.resolve("snapshot-99999.json"),
+      """{"version": 99999, "stage": "s", "partition_col": "bucket", "partitions": [{"value": "old", "path": "/nope", "rows": 1}]}""")
+    Files.writeString(snapDir.resolve("snapshot-100000.json"),
+      """{"version": 100000, "stage": "s", "partition_col": "bucket", "partitions": []}""")
+    val t = new LakeTable(spark, root)
+    assert(t.latest.get.version == 100000)
+    val snap = t.resumableWrite(sample.filter(col("bucket") === "a"), "bucket", "s2").get
+    assert(snap.version == 100001) // head advances; no clobber of an existing file
+    assert(Files.exists(snapDir.resolve("snapshot-99999.json")))
+  }
+
+  test("over-wide partition column fails with a diagnostic, not an OOM") {
+    val t = new LakeTable(spark, tmpRoot(), maxPartitionsPerWrite = 3)
+    val wide = (1 to 10).map(i => (i.toLong, s"p$i", 1.0)).toDF("id", "bucket", "v")
+    val e = intercept[IllegalArgumentException](t.resumableWrite(wide, "bucket", "s"))
+    assert(e.getMessage.contains("distinct values") && e.getMessage.contains("Bucket it"))
+    // within the bound still works
+    assert(t.resumableWrite(sample.filter(col("bucket").isin("a", "b")),
+      "bucket", "s").get.partitions.size == 2)
+  }
+
+  test("snapshot log is cached per instance: repeated reads cost zero re-parses") {
+    val root = tmpRoot()
+    val t = new LakeTable(spark, root)
+    (1 to 5).foreach(i => t.resumableWrite(
+      sample.withColumn("bucket", concat(col("bucket"), lit(i.toString))), "bucket", "ing"))
+    val after = t.parseCount
+    // a long-running ingest calls committedPartitions/latest per micro-batch:
+    // with the round-3 rescan-per-call this was O(batches²) driver JSON parses
+    (1 to 50).foreach { _ =>
+      t.committedPartitions("ing"); t.latest; t.isComplete("ing")
+    }
+    assert(t.parseCount == after, s"cache miss: ${t.parseCount} != $after")
+    // a REOPEN (new instance) re-scans once and then also stays cached
+    val t2 = new LakeTable(spark, root)
+    t2.committedPartitions("ing")
+    val p2 = t2.parseCount
+    (1 to 50).foreach(_ => t2.committedPartitions("ing"))
+    assert(t2.parseCount == p2)
+  }
+
+  test("concurrent writers: version collision retries; same-stage overlap fails loudly") {
+    val root = tmpRoot()
+    val a = new LakeTable(spark, root)
+    val b = new LakeTable(spark, root)
+    b.committedPartitions("s") // warm B's cache BEFORE A commits (stale view)
+    a.resumableWrite(sample.filter(col("bucket").isin("a", "b")), "bucket", "s")
+    // B races to version 1 with overlapping partitions a,b: the create-if-
+    // absent link loses, the retry re-reads the log, sees the overlap and
+    // refuses — under round-3's ATOMIC_MOVE publish B would have silently
+    // REPLACED A's snapshot, losing its committed partitions.
+    val e = intercept[java.util.ConcurrentModificationException](
+      b.resumableWrite(sample, "bucket", "s"))
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(new LakeTable(spark, root).committedPartitions("s").keySet == Set("a", "b"))
+    // rerun against the merged state resumes cleanly: only 'c' is missing
+    assert(b.resumableWrite(sample, "bucket", "s").get.partitions.map(_.value) == Seq("c"))
+
+    // DIFFERENT stages racing to one version: loser retries at the next head
+    val c = new LakeTable(spark, root)
+    c.committedPartitions("s") // warm (stale after d's write below)
+    val d = new LakeTable(spark, root)
+    d.resumableWrite(sample, "bucket", "other1")
+    val snap = c.resumableWrite(sample, "bucket", "other2").get
+    val all = new LakeTable(spark, root).snapshots
+    assert(all.count(_.stage == "other1") == 1 && all.count(_.stage == "other2") == 1)
+    assert(all.map(_.version) == all.map(_.version).distinct.sorted)
+    assert(snap.version == all.map(_.version).max)
+  }
+
+  test("compactMetadata: log folds to one checkpoint; state identical; history below horizon expires") {
+    val root = tmpRoot()
+    val t = new LakeTable(spark, root)
+    t.resumableWrite(sample.filter(col("bucket").isin("a", "b")), "bucket", "s")
+    val vMid = t.resumableWrite(sample, "bucket", "s").get.version
+    t.rewritePartitions(Seq((10L, "a", 99.0)).toDF("id", "bucket", "v"), "bucket", "s")
+    t.resumableWrite(sample, "bucket", "other")
+    t.markComplete("s")
+    val before = t.read("s").select("id", "bucket", "v")
+      .as[(Long, String, Double)].collect().toSet
+    val filesBefore = Files.list(Paths.get(root, "snapshots")).iterator().asScala.size
+    assert(filesBefore == 5)
+    t.compactMetadata()
+    val names = Files.list(Paths.get(root, "snapshots")).iterator().asScala
+      .map(_.getFileName.toString).toList
+    assert(names.size == 1 && names.head.startsWith("checkpoint-"), names.toString)
+    // identical current state through the SAME instance and a reopen
+    assert(t.read("s").select("id", "bucket", "v")
+      .as[(Long, String, Double)].collect().toSet == before)
+    val re = new LakeTable(spark, root)
+    assert(re.read("s").select("id", "bucket", "v")
+      .as[(Long, String, Double)].collect().toSet == before)
+    assert(re.read("other").count() == 5)
+    assert(re.isComplete("s") && !re.isComplete("other"))
+    // time travel below the horizon is expired — loudly
+    val e = intercept[IllegalArgumentException](re.read("s", vMid))
+    assert(e.getMessage.contains("expired"))
+    // the log keeps moving: next write versions from the horizon up
+    val v = re.resumableWrite(sample, "bucket", "post").get.version
+    assert(v > re.snapshots.filter(_.stage == "s").map(_.version).max)
+    assert(re.read("post").count() == 5)
+  }
+
   test("pipeline-level checkpointed run: rerun is a snapshot no-op with equal output") {
     val root = tmpRoot()
     val pages = graft.corpus.Synth.corpus(spark, 150)
@@ -128,6 +239,38 @@ class LakeSpec extends SparkSuite {
     val versions2 = new LakeTable(spark, root).snapshots.map(_.version)
     assert(versions1 == versions2) // nothing recommitted
     assert(t2.count() == rows1 && rows1 > 0)
+  }
+
+  test("partial resume does not mix corpora: background scores from the lake, not the new pages arg") {
+    // round-3 ADVICE: with cleaned complete but mentions/entities not, the
+    // docs came from the committed lake layer while the BACKGROUND n-gram
+    // table was recomputed from the CURRENT pages argument — a resume after
+    // the input changed silently scored old docs against a new-corpus
+    // background. Pin: resuming with a DIFFERENT corpus must produce the
+    // same triples as an uninterrupted run over the ORIGINAL corpus.
+    val pages1 = graft.corpus.Synth.corpus(spark, 150)
+    val cfg = graft.kg.KgPipeline.KgConfig()
+    val expected = graft.kg.KgPipeline
+      .runCheckpointed(spark, pages1, tmpRoot(), buckets = 4)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    // crash simulation: only the input layers (cleaned + background) landed
+    val root = tmpRoot()
+    val lake = new LakeTable(spark, root)
+    val bucketed4 = (df: org.apache.spark.sql.DataFrame, key: String) =>
+      df.withColumn("bucket", pmod(xxhash64(col(key)), lit(4L)))
+    lake.resumableWrite(bucketed4(
+      graft.kg.KgPipeline.cleanedDocs(pages1, cfg), "docId"), "bucket", "cleaned")
+    lake.markComplete("cleaned")
+    lake.resumableWrite(bucketed4(
+      graft.kg.KgPipeline.backgroundFromPages(pages1, cfg), "ngram"), "bucket", "background")
+    lake.markComplete("background")
+
+    // resume with a CHANGED pages argument — it must be ignored entirely
+    val pages2 = graft.corpus.Synth.corpus(spark, 40)
+    val resumed = graft.kg.KgPipeline.runCheckpointed(spark, pages2, root, buckets = 4)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(resumed == expected && expected.nonEmpty)
   }
 
   test("partial resume: triples rebuilt from committed mention/entity layers, no upstream recompute") {

@@ -55,6 +55,18 @@ class SimilaritySpec extends SparkSuite {
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
     assert(full == exact)
   }
+  test("IVF cell assignment plans ZERO corpus exchanges (broadcast-centroid argmax)") {
+    // round-3 verdict #1: the crossJoin+window assignment planned an Exchange
+    // hashpartitioning(id) of N×nCells full-vector rows per Lloyd iteration —
+    // at 10⁹ vectors the dominant cost of the index build. The scaladoc
+    // promises no corpus shuffle; this pins the plan to it.
+    val cfg = Similarity.IvfConfig(nCells = 8, lloydIter = 1)
+    val (_, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding", cfg)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"IVF assignment must not shuffle the corpus:\n$p")
+    assert(!p.contains("Window"), s"no window in the assignment plan:\n$p")
+  }
+
   test("ivfCosinePairs: precision 1.0 vs global exact pairs; recall floor; full-cell exactness") {
     // global exact pairs (no blocking at all) — the ground truth
     val exact = Similarity.blockedCosinePairs(
