@@ -218,15 +218,26 @@ final class LakeTable(spark: SparkSession, val root: String,
     // OCC publish: on a version collision with a concurrent writer, re-read
     // the log and re-validate — if the other writer committed any of OUR
     // partition values for this stage, resuming would double-commit them;
-    // fail loudly and let the caller rerun against the merged state.
-    val snap = publishOcc(v => Snapshot(v, stage, partitionCol, entries), () =>
-      if (!force) {
-        val clash = todo.filter(committedPartitions(stage).keySet)
-        if (clash.nonEmpty) throw new ConcurrentModificationException(
-          s"concurrent writer committed partition(s) ${clash.take(5).mkString(", ")} " +
-            s"of stage '$stage' during this write — rerun resumableWrite to " +
-            "resume from the merged snapshot state")
-      })
+    // fail loudly and let the caller rerun against the merged state. An
+    // aborted publish deletes its unpublished data directory (WAP: the audit
+    // dir was never referenced by a snapshot) — without this, every failed
+    // attempt of a flaky ingest would leak a full stage copy on disk. A hard
+    // JVM crash can still orphan one dir; orphans are invisible to readers
+    // (LakeSpec pins that) and bounded at one per crash, not one per retry.
+    val snap =
+      try publishOcc(v => Snapshot(v, stage, partitionCol, entries), () =>
+        if (!force) {
+          val clash = todo.filter(committedPartitions(stage).keySet)
+          if (clash.nonEmpty) throw new ConcurrentModificationException(
+            s"concurrent writer committed partition(s) ${clash.take(5).mkString(", ")} " +
+              s"of stage '$stage' during this write — rerun resumableWrite to " +
+              "resume from the merged snapshot state")
+        })
+      catch {
+        case e: Throwable =>
+          graft.util.Fs.rmrf(commitDir.toFile)
+          throw e
+      }
     Some(snap)
   }
 
@@ -273,6 +284,14 @@ final class LakeTable(spark: SparkSession, val root: String,
     ensureLoaded()
     if (logCache.isEmpty) return
     val horizon = math.max(ckptVersion, logCache.last.version)
+    if (horizon == ckptVersion) {
+      // idempotent no-op: nothing committed since the last compaction (also
+      // reached after a crash between the checkpoint link and the expiry
+      // loop) — just finish/repeat the expiry sweep instead of colliding
+      // with our own checkpoint file
+      expireBelow(horizon)
+      return
+    }
     val folded = logCache.groupBy(_.stage).toVector.map { case (stage, snapsUnsorted) =>
       val snaps = snapsUnsorted.sortBy(_.version)
       val latestWins = snaps.flatMap(_.partitions.map(e => e.value -> e)).toMap
@@ -289,13 +308,19 @@ final class LakeTable(spark: SparkSession, val root: String,
         throw new ConcurrentModificationException(
           s"checkpoint at v$horizon already exists under $root — concurrent compactMetadata")
     } finally { Files.deleteIfExists(tmp); () }
+    expireBelow(horizon)
+    // the folded state IS the post-compaction log — keep the cache warm so a
+    // streaming ingest that compacts periodically still does zero re-parses
+    ckptVersion = horizon
+    logCache = folded
+  }
+
+  private def expireBelow(horizon: Int): Unit =
     listLog().foreach {
       case (SnapRe(v), p) if v.toLong <= horizon => Files.delete(p)
       case (CkptRe(v), p) if v.toLong < horizon => Files.delete(p)
       case _ => ()
     }
-    loaded = false
-  }
 
   /** Stage-completion marker: a zero-partition snapshot recording that
    * `stage` finished committing ALL of its partitions. resumableWrite alone
@@ -326,6 +351,9 @@ final class LakeTable(spark: SparkSession, val root: String,
           attempts += 1
           refresh()
           recheck()
+        case _: LakeTable.HorizonRetracted => // compaction raced us: publishAt
+          attempts += 1 // already retracted the link + refreshed the cache
+          recheck()
       }
     }
     throw new IllegalStateException(
@@ -336,12 +364,33 @@ final class LakeTable(spark: SparkSession, val root: String,
   /** Atomic create-if-absent publish: write to tmp, hard-link into the log.
    * createLink fails with FileAlreadyExistsException if snapshot-N exists —
    * unlike ATOMIC_MOVE, which on Linux silently REPLACES the target and
-   * would let two writers erase each other's committed snapshots. */
+   * would let two writers erase each other's committed snapshots.
+   *
+   * The create-if-absent argument assumes snapshot files below the head are
+   * never MISSING — compactMetadata deletes exactly those, so a writer whose
+   * stale view predates a concurrent compaction could otherwise link a
+   * sub-horizon version that every future log scan ignores (silent loss).
+   * Hence the post-link horizon check: if a checkpoint at or above our
+   * version exists, the link is retracted and the commit fails LOUDLY. All
+   * interleavings are covered — a compaction that lists our file folds it
+   * into the checkpoint (committed); one that doesn't leaves a checkpoint
+   * the post-link check sees (loud retry/abort). */
   private def publishAt(s: Snapshot): Unit = synchronized {
     val tmp = Files.createTempFile(snapDir, ".tmp-snapshot", ".json")
     Files.writeString(tmp, renderSnapshot(s))
-    try Files.createLink(snapDir.resolve(snapName(s.version)), tmp)
+    val target = snapDir.resolve(snapName(s.version))
+    try Files.createLink(target, tmp)
     finally { Files.deleteIfExists(tmp); () }
+    val ckptNow = listLog().collect { case (CkptRe(v), _) => v.toLong }
+      .maxOption.getOrElse(0L)
+    if (ckptNow >= s.version) {
+      Files.deleteIfExists(target)
+      refresh()
+      throw new LakeTable.HorizonRetracted(
+        s"a concurrent compactMetadata advanced the checkpoint horizon to v$ckptNow " +
+          s"while this commit targeted v${s.version} under $root — the snapshot was " +
+          "retracted; retrying at the new head")
+    }
     if (loaded) logCache = logCache :+ s
   }
 
@@ -381,4 +430,12 @@ final class LakeTable(spark: SparkSession, val root: String,
     Snapshot(num("version", json).toInt, str("stage", json),
       str("partition_col", json), entries)
   }
+}
+
+object LakeTable {
+  /** Internal OCC signal: publishAt retracted a link that landed below a
+   * concurrently-advanced checkpoint horizon; publishOcc retries at the new
+   * head (the cache was already refreshed). */
+  private[lake] final class HorizonRetracted(msg: String)
+    extends ConcurrentModificationException(msg)
 }

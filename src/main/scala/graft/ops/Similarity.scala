@@ -39,18 +39,135 @@ object Similarity {
   }
 
   /**
-   * Exact top-k neighbors for each query vector.
+   * Exact top-k neighbors for each query vector (numeric ids — the same
+   * id-castable-to-long contract as blockedCosinePairs).
+   *
+   * Per-partition top-k PUSH-DOWN: each task folds its slice of the corpus
+   * into a (query × k) selection and emits ≤ |queries|·k candidate rows; the
+   * only exchange in the plan is the final reduction over
+   * partitions × |queries| × k rows — shuffle volume independent of corpus
+   * size. The round-3 formulation shuffled EVERY candidate row through a
+   * window partitioned by query — a corpus-scale exchange at 10⁹ vectors.
+   * Cosines are bit-identical to the graft_vdot plan (ascending-index double
+   * accumulation, float widened per element).
+   *
    * @param corpus  (idCol, vecCol)
    * @param queries (idCol, vecCol) — small enough to broadcast
    * @return (query_id, neighbor_id, cos, rank)
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      vecCol: String, k: Int): DataFrame =
+    partitionTopK(projectVecs(corpus, idCol, vecCol),
+      collectQueries(queries, idCol, vecCol), None, k)
+
+  /** (query_id, qvec, qnorm) collected to the driver — queries are small by
+   * contract, and the vector math mirrors graft_vdot exactly. A malformed
+   * query vector (null array / null element) gets qnorm = NaN, so every
+   * cosine it produces is NaN and it returns no neighbors — excluded, never
+   * silently zero-padded. */
+  private def collectQueries(queries: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double], Double)] =
+    projectVecs(queries, idCol, vecCol).collect().map { r =>
+      val (v, bad) = readVec(r, 1)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (r.getLong(0), v, if (bad) Double.NaN else math.sqrt(s))
+    }.sortBy(_._1)
+
+  /** Unbox an ARRAY<DOUBLE> row field without converting null elements to
+   * 0.0 (Scala unboxing of a null Double is a silent zero): returns the
+   * primitive array plus a `bad` flag for null array / null element. */
+  private def readVec(row: org.apache.spark.sql.Row, idx: Int): (Array[Double], Boolean) = {
+    if (row.isNullAt(idx)) return (Array.emptyDoubleArray, true)
+    val raw = row.getSeq[Any](idx)
+    val a = new Array[Double](raw.length)
+    var bad = false
+    val it = raw.iterator
+    var i = 0
+    while (it.hasNext) {
+      val x = it.next()
+      if (x == null) bad = true else a(i) = x.asInstanceOf[Number].doubleValue()
+      i += 1
+    }
+    (a, bad)
+  }
+
+  /** The push-down kernel shared by brute-force and IVF top-k. `cands` is
+   * (id LONG, vec ARRAY<DOUBLE>[, cell INT]); `probes(qi)` (when present)
+   * restricts query qi to candidates in those cells. Candidates whose cosine
+   * is undefined (length mismatch, null element, zero norm) are excluded —
+   * the nulls-last reading of the SQL formulation. */
+  private def partitionTopK(cands: DataFrame,
+      queries: Array[(Long, Array[Double], Double)],
+      probes: Option[Array[Array[Int]]], k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val emitted = cands.mapPartitions { rows =>
+      val qs = bcQ.value
+      val nq = qs.length
+      // cell → indices of the queries probing it (IVF); None = every query
+      val byCell: Option[Array[Array[Int]]] = bcProbes.value.map { pr =>
+        val nCells = pr.iterator.flatten.foldLeft(-1)(math.max) + 1
+        val buf = Array.fill(nCells)(Vector.newBuilder[Int])
+        pr.iterator.zipWithIndex.foreach { case (cells, qi) =>
+          cells.foreach(c => buf(c) += qi) }
+        buf.map(_.result().toArray)
+      }
+      val topIds = Array.fill(nq)(new Array[Long](k))
+      val topCos = Array.fill(nq)(new Array[Double](k))
+      val filled = new Array[Int](nq)
+      rows.foreach { row =>
+        val id = row.getLong(0)
+        val (v, bad) = readVec(row, 1)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nv = if (bad) Double.NaN else math.sqrt(s)
+        val qIdx: Array[Int] = byCell match {
+          case Some(m) =>
+            val c = row.getInt(2); if (c < m.length) m(c) else Array.emptyIntArray
+          case None => null // all queries
+        }
+        val bound = if (qIdx == null) nq else qIdx.length
+        var b = 0
+        while (b < bound) {
+          val qi = if (qIdx == null) b else qIdx(b)
+          val (qid, qv, qn) = qs(qi)
+          if (id != qid && v.length == qv.length) {
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += v(j) * qv(j); j += 1 }
+            val cos = d / (qn * nv)
+            if (!cos.isNaN) {
+              val ids = topIds(qi); val css = topCos(qi)
+              var pos = filled(qi)
+              while (pos > 0 && (cos > css(pos - 1) ||
+                  (cos == css(pos - 1) && id < ids(pos - 1)))) pos -= 1
+              if (pos < k) {
+                var m = math.min(filled(qi), k - 1)
+                while (m > pos) { ids(m) = ids(m - 1); css(m) = css(m - 1); m -= 1 }
+                ids(pos) = id; css(pos) = cos
+                if (filled(qi) < k) filled(qi) += 1
+              }
+            }
+          }
+          b += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until filled(qi)).iterator.map(r =>
+          org.apache.spark.sql.Row(qs(qi)._1, topIds(qi)(r), topCos(qi)(r)))
+      }
+    }
+    emitted
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
@@ -156,9 +273,10 @@ object Similarity {
 
   final case class IvfConfig(nCells: Int = 16, lloydIter: Int = 3, nProbe: Int = 4)
 
-  /** (id, vec ARRAY<DOUBLE>) projection of an embedding table. */
+  /** (id LONG, vec ARRAY<DOUBLE>) projection of an embedding table (numeric
+   * ids — the blockedCosinePairs contract). */
   private def projectVecs(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol).as("id"),
+    corpus.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
 
   /** Deterministic IVF index: (cells DF (cell, centroid ARRAY<DOUBLE>),
@@ -232,56 +350,104 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType, nullable = false))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    // (cos desc with NaN first — java.lang.Double.compare treats NaN as
-    // largest, matching Spark's desc ordering — then cell asc)
-    val ord = new Ordering[(Int, Double)] {
-      def compare(a: (Int, Double), b: (Int, Double)): Int = {
-        val c = java.lang.Double.compare(b._2, a._2)
-        if (c != 0) c else Integer.compare(a._1, b._1)
-      }
-    }
     base.mapPartitions { rows =>
       val cs = bc.value
+      val scores = new Array[Double](cs.length)
+      val sel = new Array[Int](k)
       rows.flatMap { row =>
-        val v = row.getSeq[Double](vecIdx).toArray
+        // malformed vectors (null array / null element / length mismatch vs a
+        // centroid) score NaN — the graft_vdot NULL contract the round-3 plan
+        // had: NaN ranks first under the desc ordering, so a malformed row
+        // lands deterministically in the lowest cells instead of in a
+        // plausible-looking cell computed from a silently truncated/zeroed
+        // dot product
+        val (v, bad) = readVec(row, vecIdx)
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         val nv = math.sqrt(s)
-        val scored = cs.map { case (cell, cv, nc) =>
-          var d = 0.0; var j = 0
-          val n = math.min(v.length, cv.length)
-          while (j < n) { d += v(j) * cv(j); j += 1 }
-          (cell, d / (nv * nc))
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)._2
+          scores(c) =
+            if (bad || v.length != cv.length) Double.NaN
+            else {
+              var d = 0.0; var j = 0
+              while (j < v.length) { d += v(j) * cv(j); j += 1 }
+              d / (nv * cs(c)._3)
+            }
+          c += 1
         }
-        scored.sorted(ord).iterator.take(k).map(t =>
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ t._1))
+        // k-slot insertion select over the primitive score array — no per-row
+        // sort or tuple boxing (nCells ~ √N ≈ 31k at 10⁹ vectors; k ≤ 4).
+        // Order: cos desc with NaN first (java.lang.Double.compare treats NaN
+        // as largest — Spark's desc ordering); ties keep the smaller cell
+        // (cells are scanned in ascending id order and insertion is strict).
+        var filled = 0
+        c = 0
+        while (c < cs.length) {
+          var pos = filled
+          while (pos > 0 && java.lang.Double.compare(scores(c), scores(sel(pos - 1))) > 0)
+            pos -= 1
+          if (pos < k) {
+            var j = math.min(filled, k - 1)
+            while (j > pos) { sel(j) = sel(j - 1); j -= 1 }
+            sel(pos) = c
+            if (filled < k) filled += 1
+          }
+          c += 1
+        }
+        (0 until filled).iterator.map(r =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ cs(sel(r))._1))
       }
     }
   }
 
   /**
    * IVF ANN query: scan only the nProbe nearest cells per query.
+   *
+   * The probe routing (queries × centroids) is computed driver-side over the
+   * tiny centroid matrix, and the cell-restricted scan goes through the same
+   * per-partition top-k push-down as bruteForceTopK — the round-3 plan
+   * instead broadcast-joined probes onto the assigned corpus and windowed
+   * the matched candidates by query, an exchange of |corpus|·nProbe/nCells
+   * rows; the only exchange here is the partitions × |queries| × k final
+   * reduction.
+   *
    * @return (query_id, neighbor_id, cos, rank) — rank within scanned cells
    */
   def ivfTopK(index: (DataFrame, DataFrame), queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val (centroids, assigned) = index
-    val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("__qv"))
-    // probe cells per query (queries × centroids is tiny)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__cos", cosine(col("__qv"), col("centroid")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("cell"))))
-      .filter(col("__rk") <= cfg.nProbe)
-      .select(col("query_id"), col("__qv"), col("cell"))
-    assigned
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("cos"), col("rank"))
+    val qs = collectQueries(queries, idCol, vecCol)
+    val cents = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (r.getInt(0), v, math.sqrt(s))
+      }
+      .sortBy(_._1)
+    // per query: the nProbe nearest cells by (cos desc, cell asc) — the same
+    // ordering the round-3 window used; NaN (malformed query) ranks first,
+    // mirroring Spark's NaN-greatest desc sort
+    val probes: Array[Array[Int]] = qs.map { case (_, qv, qn) =>
+      val scored = cents.map { case (cell, cv, cn) =>
+        if (qv.length != cv.length) (cell, Double.NaN)
+        else {
+          var d = 0.0; var j = 0
+          while (j < qv.length) { d += qv(j) * cv(j); j += 1 }
+          (cell, d / (qn * cn))
+        }
+      }
+      val ord = new Ordering[(Int, Double)] {
+        def compare(a: (Int, Double), b: (Int, Double)): Int = {
+          val c = java.lang.Double.compare(b._2, a._2)
+          if (c != 0) c else Integer.compare(a._1, b._1)
+        }
+      }
+      scored.sorted(ord).take(cfg.nProbe).map(_._1)
+    }
+    partitionTopK(assigned, qs, Some(probes), k)
   }
 }

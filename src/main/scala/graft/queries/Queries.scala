@@ -529,6 +529,45 @@ GROUP BY 1, 2 ORDER BY total DESC, c_custkey LIMIT 10""")),
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY 1, 2""")),
 
+    // Sessionization (gaps-and-islands): per-user sessions split at >30-min
+    // inactivity gaps — lag + running-sum window, the standard sessionizer a
+    // training-data pipeline runs over interaction logs (session-level dedup,
+    // per-user engagement features). All time math in MICROSECONDS on both
+    // engines (Spark unix_micros ↔ DuckDB epoch_us — second-granularity casts
+    // would truncate differently); ordering ties broken by event_id.
+    ("q9_sessionize",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts").cast("timestamp"))
+        table(s, dir, "events")
+          .withColumn("pus", lag(us, 1).over(w))
+          .withColumn("brk",
+            when(col("pus").isNull || us - col("pus") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("brk")).over(w))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_events"), (max(us) - min(us)).as("dur_us"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("n_events")).as("total_events"),
+            max(col("dur_us")).as("max_session_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+  FROM events),
+b AS (SELECT user_id, event_id, ts, us,
+    CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+g AS (SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM b),
+sess AS (SELECT user_id, sess, count(*) AS n_events, max(us) - min(us) AS dur_us
+  FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(max(n_events) AS BIGINT) AS max_session_events,
+  CAST(sum(n_events) AS BIGINT) AS total_events,
+  CAST(max(dur_us) AS BIGINT) AS max_session_us
+FROM sess GROUP BY user_id ORDER BY user_id""")),
+
     // Classic: window function (per-key top-k)
     ("q3_window_orders",
       (s: SparkSession, dir: String) =>
@@ -795,19 +834,17 @@ p AS (SELECT a.vec_id AS a, b.vec_id AS b,
   GROUP BY 1, 2)
 SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.3 ORDER BY a, b""")),
 
-    // Brute-force cosine top-k ANN baseline (broadcast queries, no shuffle on
-    // the candidate side beyond the window)
+    // Brute-force cosine top-k ANN baseline through the per-partition top-k
+    // push-down kernel: each task emits ≤ |queries|·k candidates, and the
+    // only exchange is the partitions × |queries| × k final reduction — no
+    // corpus-scale window shuffle
     ("ann_topk",
       (s: SparkSession, dir: String) => {
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val ranked = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos", cosineCol(col("qe"), col("embedding")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rn") <= 3)
-        ranked.select(col("qid"), col("vec_id"), round(col("cos"), 3).as("cos"))
+        graft.ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("vec_id"),
+            round(col("cos"), 3).as("cos"))
           .orderBy(col("qid"), round(col("cos"), 3).desc, col("vec_id"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -993,14 +1030,6 @@ co AS (SELECT 'entity:' || CAST(a.eid AS VARCHAR) AS subj, 'co_occurs' AS pred,
 SELECT subj, pred, obj, url FROM (SELECT * FROM mtrip UNION ALL SELECT * FROM co)
 ORDER BY subj, pred, obj, url""")),
   )
-
-  // ---------- similarity helpers ----------
-
-  /** cosine(a, b) over ARRAY<FLOAT> columns, computed in double via the
-   * native codegen graft_vdot expression (graft.plans.VectorDot). */
-  private def cosineCol(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.ops.Similarity.cosine(a, b)
 
   /** (jaccard pairs DF with columns a, b, jaccard; distinct-bigram table). */
   private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

@@ -44,10 +44,18 @@ object MentionStream {
    * @return the started query (AvailableNow trigger: drains the bounded
    *         input then stops — callers use processAllAvailable/awaitTermination)
    */
+  /** @param compactMetadataEvery fold the lake's snapshot log into one
+   *        checkpoint file every N micro-batches (0 = never). A stream
+   *        publishes 2 snapshots per batch, so an unbounded run otherwise
+   *        accumulates an unbounded metadata file count; compaction keeps
+   *        the log O(1) files while committed state (ledger included) is
+   *        preserved exactly — the replay/no-op and grown-input guarantees
+   *        hold across compactions (MentionStreamSpec). */
   def toLake(spark: SparkSession, docs: Dataset[Doc], bc: Broadcast[TagModel],
       lakeRoot: String, buckets: Int = 4, stage: String = "mentions_stream",
       cfg: Tagger.TagConfig = Tagger.TagConfig(),
-      table: Option[LakeTable] = None): StreamingQuery = {
+      table: Option[LakeTable] = None,
+      compactMetadataEvery: Int = 0): StreamingQuery = {
     // ONE LakeTable for the whole stream: its parsed-snapshot cache makes the
     // per-batch committedPartitions/ledger lookups O(1) driver work — the
     // round-3 rescan-per-call was O(batches²) JSON parsing over a long ingest
@@ -102,6 +110,8 @@ object MentionStream {
           concat_ws("-", lit(batchId),
             pmod(xxhash64(col("url")), lit(buckets.toLong))))
         lake.resumableWrite(keyed, "part", stage)
+        if (compactMetadataEvery > 0 && (batchId + 1) % compactMetadataEvery == 0)
+          lake.compactMetadata()
         ()
       } finally { batch.unpersist(); () }
     }

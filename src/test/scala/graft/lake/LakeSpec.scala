@@ -181,6 +181,10 @@ class LakeSpec extends SparkSuite {
       b.resumableWrite(sample, "bucket", "s"))
     assert(e.getMessage.contains("concurrent writer"))
     assert(new LakeTable(spark, root).committedPartitions("s").keySet == Set("a", "b"))
+    // the aborted write retracted its unpublished data directory (WAP): no
+    // orphan full-stage copy leaks per failed attempt
+    val dataDirs = Files.list(Paths.get(root, "data")).iterator().asScala.size
+    assert(dataDirs == 1, s"aborted write leaked a commit dir ($dataDirs present)")
     // rerun against the merged state resumes cleanly: only 'c' is missing
     assert(b.resumableWrite(sample, "bucket", "s").get.partitions.map(_.value) == Seq("c"))
 
@@ -227,6 +231,33 @@ class LakeSpec extends SparkSuite {
     val v = re.resumableWrite(sample, "bucket", "post").get.version
     assert(v > re.snapshots.filter(_.stage == "s").map(_.version).max)
     assert(re.read("post").count() == 5)
+  }
+
+  test("compactMetadata is idempotent and survives a compaction racing a stale writer") {
+    val root = tmpRoot()
+    val a = new LakeTable(spark, root)
+    a.resumableWrite(sample, "bucket", "s")
+    a.compactMetadata()
+    val stateAfter = a.read("s").count()
+    // idempotent: nothing committed since → no-op, not a false
+    // concurrent-compaction error (maintenance loops call this periodically)
+    a.compactMetadata()
+    assert(a.read("s").count() == stateAfter)
+
+    // a writer whose cached view predates a compaction must NOT be able to
+    // link a snapshot below the new checkpoint horizon (every future scan
+    // would ignore it — silent commit loss). publishAt retracts the link and
+    // retries above the horizon.
+    val stale = new LakeTable(spark, root)
+    stale.committedPartitions("s") // warm the stale cache
+    a.resumableWrite(sample, "bucket", "extra")
+    a.compactMetadata() // horizon advances; per-commit files deleted
+    val snap = stale.resumableWrite(sample, "bucket", "late").get
+    val fresh = new LakeTable(spark, root)
+    assert(fresh.read("late").count() == 5, "racing commit must stay visible")
+    assert(fresh.snapshots.filter(_.stage == "late").map(_.version) == Seq(snap.version))
+    // and it landed ABOVE the horizon (sub-horizon versions are expired space)
+    assert(snap.version > fresh.snapshots.filter(_.stage == "extra").map(_.version).max)
   }
 
   test("pipeline-level checkpointed run: rerun is a snapshot no-op with equal output") {

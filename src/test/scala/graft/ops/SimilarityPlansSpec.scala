@@ -55,6 +55,23 @@ class SimilaritySpec extends SparkSuite {
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
     assert(full == exact)
   }
+  test("top-k push-down: ONE tiny final exchange, no corpus window/join shuffle") {
+    // the round-3 plans windowed the full candidate set by query (brute
+    // force) or broadcast-joined probes onto the assigned corpus and then
+    // windowed (IVF) — corpus-scale exchanges. The push-down kernel's only
+    // exchange reduces partitions × |queries| × k emitted candidates.
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val p1 = bf.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p1).size == 1, p1)
+    assert(!p1.contains("Join") && !p1.contains("CartesianProduct"), p1)
+    val cfg = Similarity.IvfConfig(nCells = 8, lloydIter = 1, nProbe = 2)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cfg)
+    val p2 = Similarity.ivfTopK(idx, queries, "vec_id", "embedding", 5, cfg)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p2).size == 1, p2)
+    assert(!p2.contains("Join") && !p2.contains("CartesianProduct"), p2)
+  }
+
   test("IVF cell assignment plans ZERO corpus exchanges (broadcast-centroid argmax)") {
     // round-3 verdict #1: the crossJoin+window assignment planned an Exchange
     // hashpartitioning(id) of N×nCells full-vector rows per Lloyd iteration —
