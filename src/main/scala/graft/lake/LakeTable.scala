@@ -44,8 +44,15 @@ final class LakeTable(spark: SparkSession, val root: String,
     val maxPartitionsPerWrite: Int = 10000) {
 
   private val snapDir = Paths.get(root, "snapshots")
+  // checkpoints live in their own tiny subdirectory so the per-commit
+  // concurrent-compaction check (publishAt) lists O(1) entries instead of
+  // the whole snapshot log — a non-compacting stream ingest publishes 2
+  // snapshots per micro-batch, and a full listing per publish would be
+  // O(batches²) directory work over a long run
+  private val ckptDir = snapDir.resolve("_checkpoints")
   private val dataDir = Paths.get(root, "data")
   Files.createDirectories(snapDir)
+  Files.createDirectories(ckptDir)
   Files.createDirectories(dataDir)
 
   final case class PartitionEntry(value: String, path: String, rows: Long)
@@ -71,14 +78,20 @@ final class LakeTable(spark: SparkSession, val root: String,
   private def snapName(v: Int): String = f"snapshot-$v%05d.json"
   private def ckptName(v: Int): String = f"checkpoint-$v%05d.json"
 
-  private def listLog(): Vector[(String, Path)] =
-    Files.list(snapDir).iterator().asScala
-      .map(p => p.getFileName.toString -> p).toVector
+  /** Closed directory listing (Files.list holds a directory fd until closed). */
+  private def listNames(dir: Path): Vector[(String, Path)] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(p => p.getFileName.toString -> p).toVector
+    finally s.close()
+  }
+
+  private def listLog(): Vector[(String, Path)] = listNames(snapDir)
+  private def listCkpts(): Vector[(String, Path)] = listNames(ckptDir)
 
   private def ensureLoaded(): Unit = synchronized {
     if (loaded) return
     val names = listLog()
-    val ckpt = names.collect { case (CkptRe(v), p) => (v.toLong, p) }
+    val ckpt = listCkpts().collect { case (CkptRe(v), p) => (v.toLong, p) }
       .sortBy(_._1).lastOption
     ckptVersion = ckpt.map(_._1.toInt).getOrElse(0)
     val fromCkpt = ckpt.toVector.flatMap { case (_, p) =>
@@ -235,7 +248,18 @@ final class LakeTable(spark: SparkSession, val root: String,
         })
       catch {
         case e: Throwable =>
-          graft.util.Fs.rmrf(commitDir.toFile)
+          // Delete the audit dir ONLY if no published snapshot references it.
+          // A concurrent compactMetadata can fold our just-linked snapshot
+          // into its checkpoint before our post-link check runs — the commit
+          // then FAILED from this writer's view but the data is durably
+          // committed; deleting it would leave the checkpoint pointing at
+          // missing parquet (permanent loss, since a rerun sees the
+          // partitions committed and skips them). Same protection covers a
+          // publishAt failure after a successful link.
+          refresh()
+          val published = committedPartitions(stage).values
+            .exists(_.path.startsWith(commitDir.toString))
+          if (!published) graft.util.Fs.rmrf(commitDir.toFile)
           throw e
       }
     Some(snap)
@@ -300,9 +324,9 @@ final class LakeTable(spark: SparkSession, val root: String,
     }.sortBy(_.version)
     val body = (s"""{"checkpoint_version": $horizon}""" +: folded.map(renderSnapshot))
       .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(snapDir, ".tmp-checkpoint", ".json")
+    val tmp = Files.createTempFile(ckptDir, ".tmp-checkpoint", ".json")
     Files.writeString(tmp, body)
-    try Files.createLink(snapDir.resolve(ckptName(horizon)), tmp)
+    try Files.createLink(ckptDir.resolve(ckptName(horizon)), tmp)
     catch {
       case _: FileAlreadyExistsException =>
         throw new ConcurrentModificationException(
@@ -315,12 +339,16 @@ final class LakeTable(spark: SparkSession, val root: String,
     logCache = folded
   }
 
-  private def expireBelow(horizon: Int): Unit =
+  private def expireBelow(horizon: Int): Unit = {
     listLog().foreach {
       case (SnapRe(v), p) if v.toLong <= horizon => Files.delete(p)
+      case _ => ()
+    }
+    listCkpts().foreach {
       case (CkptRe(v), p) if v.toLong < horizon => Files.delete(p)
       case _ => ()
     }
+  }
 
   /** Stage-completion marker: a zero-partition snapshot recording that
    * `stage` finished committing ALL of its partitions. resumableWrite alone
@@ -381,7 +409,7 @@ final class LakeTable(spark: SparkSession, val root: String,
     val target = snapDir.resolve(snapName(s.version))
     try Files.createLink(target, tmp)
     finally { Files.deleteIfExists(tmp); () }
-    val ckptNow = listLog().collect { case (CkptRe(v), _) => v.toLong }
+    val ckptNow = listCkpts().collect { case (CkptRe(v), _) => v.toLong }
       .maxOption.getOrElse(0L)
     if (ckptNow >= s.version) {
       Files.deleteIfExists(target)

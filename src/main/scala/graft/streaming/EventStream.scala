@@ -48,6 +48,75 @@ object EventStream {
       }
   }
 
+  final case class SessEvent(user_id: Long, us: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, n_events: Long, dur_us: Long)
+
+  /**
+   * Streaming session windows (the stream twin of the `q9_sessionize` batch
+   * query): per-user sessions split at `gapUs` inactivity, built with
+   * flatMapGroupsWithState + EventTimeTimeout — the canonical arbitrary-state
+   * streaming pattern. A session CLOSES (and emits) either when a later
+   * event of the same user arrives past the gap, or when the event-time
+   * watermark passes sessionEnd + gap (timeout) — so output is append-only
+   * and state is bounded at one open session per active user.
+   *
+   * Disorder contract: events are sorted within each micro-batch group;
+   * across batches the watermark bounds lateness — an event landing inside
+   * the open session's [start − gap, last + gap] envelope merges into it,
+   * anything later starts a new session, and Spark DROPS events older than
+   * the watermark before they reach the state function. The default delay
+   * therefore equals the session gap: an event late enough to be dropped is
+   * also too late to merge into any session that could still be open, so the
+   * default loses nothing a 30-minute-gap sessionizer could use ("0 seconds"
+   * would silently drop ANY cross-batch disorder). Time math is in
+   * event-time MICROSECONDS end-to-end (like q9).
+   */
+  def sessionWindows(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800000000L, watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          val out = Vector.newBuilder[ClosedSession]
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: nothing can merge anymore
+            state.getOption.foreach(o =>
+              out += ClosedSession(uid, o.startUs, o.n, o.lastUs - o.startUs))
+            state.remove()
+          } else {
+            val evs = it.map(_.us).toArray
+            java.util.Arrays.sort(evs)
+            var open = state.getOption
+            evs.foreach { us =>
+              open match {
+                case Some(o) if us >= o.startUs - gapUs && us <= o.lastUs + gapUs =>
+                  open = Some(OpenSession(math.min(o.startUs, us),
+                    math.max(o.lastUs, us), o.n + 1))
+                case Some(o) =>
+                  out += ClosedSession(uid, o.startUs, o.n, o.lastUs - o.startUs)
+                  open = Some(OpenSession(us, us, 1))
+                case None =>
+                  open = Some(OpenSession(us, us, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // ms epoch, strictly past the merge envelope
+              state.setTimeoutTimestamp((o.lastUs + gapUs) / 1000 + 1)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Run a streaming query over a bounded parquet directory synchronously:
    * readStream → transform → memory sink → processAllAvailable. */
   def runBounded(spark: SparkSession, inputDir: String,

@@ -210,12 +210,14 @@ class LakeSpec extends SparkSuite {
     t.markComplete("s")
     val before = t.read("s").select("id", "bucket", "v")
       .as[(Long, String, Double)].collect().toSet
-    val filesBefore = Files.list(Paths.get(root, "snapshots")).iterator().asScala.size
-    assert(filesBefore == 5)
+    def logNames() = Files.list(Paths.get(root, "snapshots")).iterator().asScala
+      .map(_.getFileName.toString).filter(_ != "_checkpoints").toList
+    def ckptNames() = Files.list(Paths.get(root, "snapshots", "_checkpoints"))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(logNames().size == 5)
     t.compactMetadata()
-    val names = Files.list(Paths.get(root, "snapshots")).iterator().asScala
-      .map(_.getFileName.toString).toList
-    assert(names.size == 1 && names.head.startsWith("checkpoint-"), names.toString)
+    assert(logNames().isEmpty && ckptNames().size == 1 &&
+      ckptNames().head.startsWith("checkpoint-"), (logNames(), ckptNames()).toString)
     // identical current state through the SAME instance and a reopen
     assert(t.read("s").select("id", "bucket", "v")
       .as[(Long, String, Double)].collect().toSet == before)
@@ -312,6 +314,7 @@ class LakeSpec extends SparkSuite {
     // kill simulation: drop the triple stage (data snapshots + marker) only
     val snapDir = java.nio.file.Paths.get(root, "snapshots")
     java.nio.file.Files.list(snapDir).iterator().asScala.toList
+      .filter(java.nio.file.Files.isRegularFile(_))
       .filter { p =>
         val s = java.nio.file.Files.readString(p)
         s.contains("\"stage\": \"triples\"") || s.contains("\"stage\": \"__done__triples\"")

@@ -102,6 +102,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming session windows == q9_sessionize batch sessions (event-time timeout)") {
+    // sessionWindows (flatMapGroupsWithState + EventTimeTimeout) must produce
+    // exactly the sessions the oracle-green q9_sessionize batch query counts.
+    // A sentinel far-future event advances the global watermark so every real
+    // user's tail session times out and emits before the bounded stream ends.
+    val dir = Files.createTempDirectory("graft-sess-stream").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val sentinel = ev.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+    ev.unionByName(sentinel).repartition(3).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.sessionWindows(spark, spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming drain timed out")
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") >= 0) // drop the watermark sentinel
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"),
+        max(col("dur_us")).as("max_session_us"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    val batch = graft.queries.Queries.queries("q9_sessionize")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("mapGroupsWithState accumulates per-user totals") {
     val ev = spark.read.parquet(eventsDir)
       .select(col("user_id"), col("event_type"), col("value"))

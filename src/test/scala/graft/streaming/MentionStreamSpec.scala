@@ -47,8 +47,10 @@ class MentionStreamSpec extends SparkSuite {
     // bounded metadata: the per-commit files folded into one checkpoint
     val logFiles = Files.list(java.nio.file.Paths.get(lakeRoot, "snapshots"))
       .iterator().asScala.map(_.getFileName.toString).toList
-    assert(logFiles.count(_.startsWith("checkpoint-")) == 1 &&
-      !logFiles.exists(_.startsWith("snapshot-")), logFiles.toString)
+    val ckptFiles = Files.list(java.nio.file.Paths.get(lakeRoot, "snapshots", "_checkpoints"))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(ckptFiles.count(_.startsWith("checkpoint-")) == 1 &&
+      !logFiles.exists(_.startsWith("snapshot-")), (logFiles, ckptFiles).toString)
     // metadata-cost pin (round-3 verdict #3): the stream's per-batch ledger
     // lookups and commits ride the instance cache — ZERO snapshot-JSON parses
     // over the whole ingest (the log was empty at open; publishes append to
