@@ -1,0 +1,116 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over the materialized KG edge list (north rule "graph
+ * materialize"): degree statistics, PageRank, and triangle counting over the
+ * undirected weighted entity co-occurrence graph produced by
+ * [[Triples.cooccurEdges]].
+ *
+ * All three operators are pure Dataset/Catalyst plans (no RDDs, no GraphX):
+ * joins + aggregations that AQE can re-plan at runtime, so they inherit
+ * broadcast conversion, skew-join splitting, and partial aggregation for free.
+ *
+ * Determinism contract (oracle-grade): PageRank uses FIXED-POINT INTEGER
+ * arithmetic — every rank is a scaled BIGINT and every per-edge contribution
+ * is an integral division — so results are bit-identical regardless of
+ * partitioning, aggregation order, or engine (integer addition is exactly
+ * associative/commutative; double summation is not). This is what lets the
+ * driver hash-compare against a DuckDB oracle with `check_exact`, and at
+ * cluster scale it makes reruns/resume byte-reproducible.
+ */
+object Graph {
+
+  /** Node degree + weighted degree over an undirected edge list.
+   * One aggregation shuffle (union of the two endpoint projections feeds a
+   * single partial-agg → exchange → final-agg); no joins.
+   * @param edges DataFrame(src, dst, w) with each undirected pair once
+   * @return DataFrame(entity_id, degree, wdeg) */
+  def degrees(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    sym.groupBy(col("a").as("entity_id"))
+      .agg(count(lit(1)).as("degree"), sum(col("w")).as("wdeg"))
+  }
+
+  /** Fixed-point integer PageRank over the undirected graph, damping 0.85.
+   *
+   * rank₀(v)   = SCALE div N
+   * rankᵢ₊₁(v) = (15·SCALE) div (100·N) + Σ_{u∈nbr(v)} (85·rankᵢ(u)) div (100·deg(u))
+   *
+   * All quantities are BIGINT; `div` is integral division, so the result is
+   * exactly reproducible under any aggregation order (bit-identical across
+   * Spark and the DuckDB oracle). With SCALE = 10¹² the per-division floor
+   * loss is ≤ deg(u) parts in 10¹² per node per iteration — far below any
+   * ranking-relevant precision — and 85·rank ≤ 8.5·10¹³ never overflows.
+   *
+   * Plan shape per iteration: ranks ⋈ edges on the source endpoint (shuffle
+   * hash / sort-merge on `a`, or broadcast when ranks are small), then one
+   * aggregation shuffle on the destination. The degree-annotated symmetric
+   * edge list is computed once, cached by the caller if iterating many times;
+   * every node of an undirected graph has deg ≥ 1, so there is no dangling
+   * mass and the total rank stays within N floor-losses of SCALE. For deep
+   * iteration counts at cluster scale, localCheckpoint every ~10 iterations
+   * truncates the growing lineage (not needed at the 3–5 iterations typical
+   * for co-occurrence salience).
+   *
+   * @param edges DataFrame(src, dst, w) with each undirected pair once
+   * @param iters number of power iterations (≥ 0; 0 returns the uniform init)
+   * @param scale fixed-point scale (rank of 1.0 ≡ N·scale mass)
+   * @return DataFrame(entity_id, rank_e12) — rank scaled by `scale` */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = symmetrize(edges)
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    // N is a single driver scalar (one aggregate job) — it parameterizes the
+    // teleport constant, which must be a literal for integer exactness.
+    val n = deg.count()
+    require(n > 0, "pageRank over an empty edge list")
+    val teleport = (15L * scale) / (100L * n)
+    val adj = sym.join(deg, "a").select(col("a"), col("b"), col("d")).persist()
+    try {
+      var ranks = deg.select(col("a").as("id"), lit(scale / n).as("r"))
+      for (_ <- 1 to iters) {
+        val contribs = adj.join(ranks, adj("a") === ranks("id"))
+          .select(col("b").as("id"), expr("(85 * r) div (100 * d)").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("c"))
+        // every node has deg ≥ 1 in an undirected graph, so an inner join
+        // would suffice; the left join + coalesce keeps the invariant local
+        ranks = deg.select(col("a").as("id")).join(contribs, Seq("id"), "left")
+          .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("r"))
+      }
+      // materialize before unpersisting the adjacency the lineage depends on
+      ranks.select(col("id").as("entity_id"), col("r").as("rank_e12")).localCheckpoint()
+    } finally adj.unpersist()
+  }
+
+  /** Per-node triangle count. Edges are oriented src < dst, so each triangle
+   * a < b < c is enumerated exactly once by the two-hop join (a,b)⋈(b,c)
+   * filtered by the closing edge (a,c); each corner then receives one count.
+   * The classic optimization for skewed degree distributions — orienting
+   * edges from the lower-degree endpoint so every wedge pivot fans out at
+   * most √(2·|E|) — drops in here by re-orienting `edges` before the call;
+   * with the id orientation the per-doc entity cap upstream already bounds
+   * fan-out at test scale.
+   * @param edges DataFrame(src, dst, w), src < dst, each pair once
+   * @return DataFrame(entity_id, n_tri) — nodes in ≥ 1 triangle */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(e.as("e3"), col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    tri.select(col("a").as("id"))
+      .unionAll(tri.select(col("b").as("id")))
+      .unionAll(tri.select(col("c").as("id")))
+      .groupBy(col("id").as("entity_id"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Both directions of an undirected edge list: (a, b, w) with each edge
+   * twice. Union of two narrow projections — no shuffle by itself. */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+}

@@ -88,17 +88,7 @@ object Triples {
       concat(lit("entity:"), col("entity_id")).as("obj"),
       col("url"), col("warc_ts"))
 
-    // co-occurrence: distinct entities per doc in first-mention order, capped,
-    // pairs i<j by entity id (deterministic)
-    val perDoc = m.groupBy("url", "warc_ts")
-      .agg(slice(array_distinct(sort_array(collect_list(
-        struct(col("start"), col("entity_id"))))), 1, cfg.maxEntitiesPerDoc).as("ents"))
-      .select(col("url"), col("warc_ts"),
-        array_distinct(transform(col("ents"), e => e.getField("entity_id"))).as("eids"))
-    val coTriples = perDoc
-      .select(col("url"), col("warc_ts"), explode(col("eids")).as("e1"), col("eids"))
-      .select(col("url"), col("warc_ts"), col("e1"), explode(col("eids")).as("e2"))
-      .filter(col("e1") < col("e2"))
+    val coTriples = entityPairs(m, cfg)
       .select(
         concat(lit("entity:"), col("e1")).as("subj"), lit(cfg.cooccurPred).as("pred"),
         concat(lit("entity:"), col("e2")).as("obj"),
@@ -109,5 +99,49 @@ object Triples {
     val parts = if (numPartitions > 0) numPartitions
                 else all.sparkSession.sessionState.conf.numShufflePartitions
     Salt.repartitionSalted(all, parts, col("subj"), cfg.saltBuckets, col("obj"), col("url"))
+  }
+
+  /** Per-document co-occurring entity pairs: distinct entities per url in
+   * first-mention order (start, then entity_id), capped at
+   * `cfg.maxEntitiesPerDoc` (bounds the quadratic pair blowup on entity-dense
+   * pages), then unordered pairs emitted as e1 < e2 — deterministic.
+   * @param m DataFrame(url, warc_ts, start, entity_id) — entity-resolved
+   *          mentions (the post-join shape inside [[materialize]])
+   * @return DataFrame(url, warc_ts, e1, e2) */
+  def entityPairs(m: DataFrame, cfg: TripleConfig = TripleConfig()): DataFrame = {
+    val perDoc = m.groupBy("url", "warc_ts")
+      .agg(slice(array_distinct(sort_array(collect_list(
+        struct(col("start"), col("entity_id"))))), 1, cfg.maxEntitiesPerDoc).as("ents"))
+      .select(col("url"), col("warc_ts"),
+        array_distinct(transform(col("ents"), e => e.getField("entity_id"))).as("eids"))
+    perDoc
+      .select(col("url"), col("warc_ts"), explode(col("eids")).as("e1"), col("eids"))
+      .select(col("url"), col("warc_ts"), col("e1"), explode(col("eids")).as("e2"))
+      .filter(col("e1") < col("e2"))
+  }
+
+  /** Weighted undirected entity co-occurrence edge list — the KG's
+   * graph-materialize output in analytic form. Weight = number of documents
+   * in which the pair co-occurs (each url contributes a pair at most once by
+   * [[entityPairs]] construction). One aggregation shuffle on (e1, e2); the
+   * per-doc cap already bounded the pair count upstream, so the edge keyspace
+   * is O(min(docs · cap², entities²)) — at 100 TB the cap is what keeps this
+   * from being quadratic in entities-per-page.
+   * @param mentions DataFrame(url, warc_ts, start, end, phrase_id, label)
+   * @param entityMap DataFrame(phrase_id, entity_id)
+   * @return DataFrame(src, dst, w) with src < dst */
+  def cooccurEdges(mentions: DataFrame, entityMap: DataFrame,
+      cfg: TripleConfig = TripleConfig()): DataFrame = {
+    val em = entityMap.select(col("phrase_id").cast("long").as("phrase_id"),
+      col("entity_id").cast("long").as("entity_id"))
+    val emBytes = em.queryExecution.optimizedPlan.stats.sizeInBytes
+    val emKeyed =
+      if (emBytes * 8 <= BigInt(cfg.broadcastEntityBytes)) broadcast(em) else em
+    val m = mentions
+      .join(emKeyed, Seq("phrase_id"), "left")
+      .withColumn("entity_id", coalesce(col("entity_id"), col("phrase_id").cast("long")))
+    entityPairs(m, cfg)
+      .groupBy(col("e1").as("src"), col("e2").as("dst"))
+      .agg(count(lit(1)).as("w"))
   }
 }

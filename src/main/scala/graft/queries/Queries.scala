@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.artifact.{Builder, TagModel}
 import graft.corpus.Extract
-import graft.kg.{ConnectedComponents, Linker, Triples}
+import graft.kg.{ConnectedComponents, Graph, Linker, Triples}
 import graft.mine.Miner
 import graft.model.Doc
 import graft.score.Scorer
@@ -1029,7 +1029,101 @@ co AS (SELECT 'entity:' || CAST(a.eid AS VARCHAR) AS subj, 'co_occurs' AS pred,
   FROM eids a JOIN eids b ON a.url = b.url AND a.eid < b.eid)
 SELECT subj, pred, obj, url FROM (SELECT * FROM mtrip UNION ALL SELECT * FROM co)
 ORDER BY subj, pred, obj, url""")),
+
+    // ---------- graph analytics over the materialized KG ----------
+    // North rule "graph materialize", analytic form: the weighted undirected
+    // entity co-occurrence edge list (Triples.cooccurEdges over ALL matches ×
+    // exact-edge entities — both halves individually oracle-proven by
+    // w4_tag_all and kg_canon) feeds degree stats, fixed-point-integer
+    // PageRank, and per-node triangle counts, each with a FULL DuckDB oracle.
+
+    // Degree + weighted degree per entity — one aggregation shuffle, no joins
+    ("kg_degree",
+      (s: SparkSession, dir: String) =>
+        Graph.degrees(graphEdges(s, dir)).orderBy("entity_id"),
+      Some(s"""WITH RECURSIVE $graphEdgesSql
+SELECT a AS entity_id, CAST(count(*) AS BIGINT) AS degree, CAST(sum(w) AS BIGINT) AS wdeg
+FROM (SELECT src AS a, w FROM ed UNION ALL SELECT dst, w FROM ed)
+GROUP BY 1 ORDER BY 1""")),
+
+    // PageRank, 3 power iterations, damping 0.85 — FIXED-POINT INTEGER
+    // arithmetic (scaled BIGINT ranks, integral division per contribution) so
+    // the result is bit-identical under any aggregation order and across
+    // engines: the only way an iterative float algorithm can be hash-oracled
+    // exactly. Oracle unrolls the identical recurrence as chained CTEs.
+    ("kg_pagerank",
+      (s: SparkSession, dir: String) =>
+        Graph.pageRank(graphEdges(s, dir), iters = 3).orderBy("entity_id"),
+      Some(s"""WITH RECURSIVE $graphEdgesSql,
+${pageRankSql(3)}
+SELECT id AS entity_id, r AS rank_e12 FROM pr3 ORDER BY 1""")),
+
+    // Per-entity triangle participation — edges oriented src < dst, each
+    // triangle enumerated once by the wedge join + closing-edge check
+    ("kg_triangles",
+      (s: SparkSession, dir: String) =>
+        Graph.triangles(graphEdges(s, dir)).orderBy("entity_id"),
+      Some(s"""WITH RECURSIVE $graphEdgesSql,
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
+  JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT id AS entity_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY 1 ORDER BY 1""")),
   )
+
+  /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
+   * ALL phrase matches resolved to exact-edge entities, per-doc distinct
+   * entity sets capped at 64 in first-mention order, pair counts over docs.
+   * Shared by kg_degree / kg_pagerank / kg_triangles. */
+  def graphEdges(s: SparkSession, dir: String): DataFrame = cached(s"graphEdges|$dir") {
+    val m = mentions(s, dir, "all")
+      .join(scored(s, dir, "ratio", 1.5f, assignIds = true)
+        .select(col("ngram"), col("phrase_id")), Seq("ngram"))
+      .select(concat(lit("doc://"), col("doc_id")).as("url"),
+        lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("warc_ts"),
+        col("start").cast("int").as("start"), col("end").cast("int").as("end"),
+        col("phrase_id"), lit("PHRASE").as("label"))
+    val ents = exactEntities(s, dir).select("phrase_id", "entity_id")
+    Triples.cooccurEdges(m, ents)
+  }
+
+  /** DuckDB CTE chain ending in `ed` (src, dst, w) — mirrors graphEdges.
+   * Must be prefixed WITH RECURSIVE (pulls in exactEntitiesSql). The mt/ment/
+   * capped CTEs are the kg_cooccur chain with ALL matches instead of the
+   * leftmost_longest-resolved sel. */
+  private def graphEdgesSql: String =
+    s"""${exactEntitiesSql()},
+${gramsSql("tg", "WHERE lang = 'en'", Seq(2, 3))},
+mt AS (SELECT g.doc_id, CAST(g.pos - 1 AS BIGINT) AS s, g.g AS ngram
+  FROM tg_grams g JOIN scored p ON g.g = p.ngram),
+ment AS (SELECT 'doc://' || CAST(mt.doc_id AS VARCHAR) AS url, mt.s AS s, e.entity_id AS eid
+  FROM mt JOIN sp ON sp.ngram = mt.ngram JOIN pent e ON e.phrase_id = sp.pid),
+startents AS (SELECT DISTINCT url, s, eid FROM ment),
+capped AS (SELECT url, eid FROM (
+    SELECT url, eid, row_number() OVER (PARTITION BY url ORDER BY s, eid) AS rn FROM startents
+  ) WHERE rn <= 64),
+eids AS (SELECT DISTINCT url, eid FROM capped),
+ed AS (SELECT a.eid AS src, b.eid AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM eids a JOIN eids b ON a.url = b.url AND a.eid < b.eid GROUP BY 1, 2)"""
+
+  /** DuckDB CTE chain for `iters` fixed-point PageRank iterations over `ed`,
+   * ending in `pr{iters}` (id, d, r) — the exact integer recurrence of
+   * Graph.pageRank (see its scaladoc for why integers). */
+  private def pageRankSql(iters: Int, scale: String = "1000000000000"): String = {
+    val base = s"""sym AS (SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst, src FROM ed),
+pdeg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+vn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pdeg),
+pr0 AS (SELECT id, d, CAST($scale // (SELECT n FROM vn) AS BIGINT) AS r FROM pdeg)"""
+    val steps = (1 to iters).map { i =>
+      s"""pc$i AS (SELECT s.b AS id, CAST(sum((85 * r.r) // (100 * r.d)) AS BIGINT) AS c
+  FROM sym s JOIN pr${i - 1} r ON r.id = s.a GROUP BY 1),
+pr$i AS (SELECT d.id, d.d,
+    CAST((15 * $scale) // (100 * (SELECT n FROM vn)) + coalesce(c.c, 0) AS BIGINT) AS r
+  FROM pdeg d LEFT JOIN pc$i c ON c.id = d.id)"""
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** (jaccard pairs DF with columns a, b, jaccard; distinct-bigram table). */
   private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

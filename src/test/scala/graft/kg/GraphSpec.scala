@@ -1,0 +1,107 @@
+package graft.kg
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/**
+ * Graph analytics over the KG edge list: degrees/PageRank/triangles against
+ * hand-checked graphs, the fixed-point-integer determinism contract (rank mass
+ * conservation, symmetry, partition-order independence), and the plan-shape
+ * pin for the single-shuffle degree aggregate.
+ */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  // path graph 1-2-3 plus isolated edge 10-11, weights distinguish endpoints
+  private def pathEdges =
+    Seq((1L, 2L, 3L), (2L, 3L, 5L), (10L, 11L, 7L)).toDF("src", "dst", "w")
+
+  test("degrees: degree and weighted degree over a path + isolated edge") {
+    val got = Graph.degrees(pathEdges).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)), 2L -> ((2L, 8L)), 3L -> ((1L, 5L)),
+      10L -> ((1L, 7L)), 11L -> ((1L, 7L))))
+  }
+
+  test("degrees: single aggregation exchange, no join") {
+    val plan = Graph.degrees(pathEdges).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"degrees must plan exactly one shuffle (partial-agg → exchange → final), got:\n$plan")
+    assert(!plan.contains("Join"), s"degrees must not plan a join:\n$plan")
+  }
+
+  test("pageRank: uniform on a vertex-transitive graph (4-cycle)") {
+    val cycle = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRank(cycle, iters = 3).as[(Long, Long)].collect().toMap
+    // every vertex is equivalent → identical rank; mass ≈ SCALE up to floor loss
+    assert(r.values.toSet.size == 1, s"cycle ranks must be uniform: $r")
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 100L, s"mass drift: $total")
+  }
+
+  test("pageRank: star center outranks leaves; leaves tie; exact recurrence") {
+    // star: center 0, leaves 1..4
+    val star = (1L to 4L).map(l => (0L, l, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(star, iters = 2).as[(Long, Long)].collect().toMap
+    val scale = 1000000000000L
+    val n = 5L
+    val teleport = (15L * scale) / (100L * n)
+    // hand-rolled recurrence: r0 = scale/5 for all; deg(center)=4, deg(leaf)=1
+    val r0 = scale / n
+    def step(c: Long, l: Long): (Long, Long) = {
+      val cNew = teleport + 4L * ((85L * l) / 100L)        // 4 leaves, deg 1
+      val lNew = teleport + (85L * c) / (100L * 4L)        // center, deg 4
+      (cNew, lNew)
+    }
+    val (c1, l1) = step(r0, r0)
+    val (c2, l2) = step(c1, l1)
+    assert(r(0L) == c2, s"center rank ${r(0L)} != expected $c2")
+    assert((1L to 4L).forall(r(_) == l2), s"leaf ranks ${r} != expected $l2")
+    assert(r(0L) > r(1L))
+  }
+
+  test("pageRank: bit-identical across partition layouts (integer contract)") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (1L, 4L, 1L),
+      (1L, 3L, 1L), (4L, 5L, 3L)).toDF("src", "dst", "w")
+    val a = Graph.pageRank(edges.repartition(1), iters = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Graph.pageRank(edges.repartition(7, col("w")), iters = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b, "fixed-point integer PageRank must not depend on partitioning")
+  }
+
+  test("triangles: K4 counts every vertex in C(3,2) triangles; path has none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val got = Graph.triangles(k4).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.triangles(pathEdges).count() == 0L)
+  }
+
+  test("cooccurEdges: pair weights over capped per-doc entity sets") {
+    val mentions = Seq(
+      // doc a: entities 100, 200 (via phrases 1→100, 2→200), phrase 3 also →200
+      ("doc://a", 0, 1L), ("doc://a", 5, 2L), ("doc://a", 9, 3L),
+      // doc b: entities 100, 200, 300
+      ("doc://b", 0, 1L), ("doc://b", 3, 2L), ("doc://b", 7, 4L),
+      // doc c: entity 100 only → no pair
+      ("doc://c", 2, 1L)
+    ).toDF("url", "start", "phrase_id")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .withColumn("end", col("start") + 1)
+      .withColumn("label", lit("PHRASE"))
+    val entityMap = Seq((1L, 100L), (2L, 200L), (3L, 200L), (4L, 300L))
+      .toDF("phrase_id", "entity_id")
+    val got = Graph.degrees(Triples.cooccurEdges(mentions, entityMap))
+    val edges = Triples.cooccurEdges(mentions, entityMap)
+      .as[(Long, Long, Long)].collect().toSet
+    // (100,200) in docs a+b → w=2; (100,300) and (200,300) in doc b → w=1
+    assert(edges == Set((100L, 200L, 2L), (100L, 300L, 1L), (200L, 300L, 1L)))
+    val deg = got.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(deg(100L) == ((2L, 3L)) && deg(200L) == ((2L, 3L)) && deg(300L) == ((2L, 2L)))
+  }
+}
