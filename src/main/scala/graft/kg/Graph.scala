@@ -72,13 +72,17 @@ object Graph {
     try {
       var ranks = deg.select(col("a").as("id"), lit(scale / n).as("r"))
       for (_ <- 1 to iters) {
-        val contribs = adj.join(ranks, adj("a") === ranks("id"))
-          .select(col("b").as("id"), expr("(85 * r) div (100 * d)").as("c"))
-          .groupBy("id").agg(sum(col("c")).as("c"))
-        // every node has deg ≥ 1 in an undirected graph, so an inner join
-        // would suffice; the left join + coalesce keeps the invariant local
-        ranks = deg.select(col("a").as("id")).join(contribs, Seq("id"), "left")
-          .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("r"))
+        // 2 exchanges per iteration (ranks onto the source endpoint, then the
+        // destination aggregate). The teleport folds INTO the aggregate: in
+        // an undirected graph every node has deg ≥ 1, so every node receives
+        // at least one contribution row and no node-table re-join is needed —
+        // the join-back formulation costs two more exchanges per iteration
+        // (node projection + deg recompute), which at small scale dominates
+        // as scheduling fixed cost and at cluster scale doubles the rounds.
+        ranks = adj.join(ranks, adj("a") === ranks("id"))
+          .select(col("b"), expr("(85 * r) div (100 * d)").as("c"))
+          .groupBy(col("b").as("id"))
+          .agg((lit(teleport) + sum(col("c"))).as("r"))
       }
       // materialize before unpersisting the adjacency the lineage depends on
       ranks.select(col("id").as("entity_id"), col("r").as("rank_e12")).localCheckpoint()
@@ -106,6 +110,32 @@ object Graph {
       .unionAll(tri.select(col("c").as("id")))
       .groupBy(col("id").as("entity_id"))
       .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Link prediction by common-neighbor count: non-adjacent pairs (src < dst)
+   * sharing ≥ `minCommon` neighbors, the classic structural-completion signal
+   * for a co-occurrence KG (entities that co-occur with the same third
+   * entities but never directly are candidate missing edges / merge
+   * candidates for the linker). Integer counts — exactly reproducible, so it
+   * hash-oracles like the rest of the module.
+   *
+   * Plan: wedge self-join on the pivot endpoint → count per candidate pair →
+   * anti-join against existing edges. Fan-out is Σ deg(pivot)² — at web scale
+   * pivot degrees get capped (or edges re-oriented lower-degree-first) before
+   * the call, the same hub treatment as [[triangles]]; the per-doc entity cap
+   * upstream already bounds the worst co-occurrence hubs.
+   * @param edges DataFrame(src, dst, w), src < dst, each pair once
+   * @return DataFrame(src, dst, common), non-adjacent pairs only */
+  def linkPredict(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+    val sym = symmetrize(edges)
+    val n1 = sym.select(col("a").as("p"), col("b").as("x"))
+    val n2 = sym.select(col("a").as("p"), col("b").as("y"))
+    n1.join(n2, "p").filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(edges.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"), "left_anti")
+      .select(col("x").as("src"), col("y").as("dst"), col("common"))
   }
 
   /** Both directions of an undirected edge list: (a, b, w) with each edge

@@ -1070,6 +1070,21 @@ tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 SELECT id AS entity_id, CAST(count(*) AS BIGINT) AS n_tri
 FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
 GROUP BY 1 ORDER BY 1""")),
+
+    // Link prediction: non-adjacent entity pairs ranked by common-neighbor
+    // count — wedge self-join on the pivot, integer counts, anti-join against
+    // existing edges (candidate missing co-occurrence edges / linker merge
+    // candidates)
+    ("kg_linkpred",
+      (s: SparkSession, dir: String) =>
+        Graph.linkPredict(graphEdges(s, dir)).orderBy("src", "dst"),
+      Some(s"""WITH RECURSIVE $graphEdgesSql,
+sym AS (SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst, src FROM ed),
+cand AS (SELECT n1.b AS x, n2.b AS y, CAST(count(*) AS BIGINT) AS common
+  FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b GROUP BY 1, 2)
+SELECT c.x AS src, c.y AS dst, c.common FROM cand c
+LEFT JOIN ed e ON e.src = c.x AND e.dst = c.y
+WHERE e.src IS NULL ORDER BY src, dst""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:

@@ -81,6 +81,21 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangles(pathEdges).count() == 0L)
   }
 
+  test("linkPredict: common neighbors of non-adjacent pairs; complete graph predicts nothing") {
+    // path 1-2-3: (1,3) share pivot 2 and are non-adjacent → predicted, cn=1;
+    // 10-11 isolated edge → nothing; K4 → every pair adjacent → nothing
+    val got = Graph.linkPredict(pathEdges).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L)))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    assert(Graph.linkPredict(k4).count() == 0L)
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two pivots
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val diag = Graph.linkPredict(sq).as[(Long, Long, Long)].collect().toSet
+    assert(diag == Set((1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
   test("cooccurEdges: pair weights over capped per-doc entity sets") {
     val mentions = Seq(
       // doc a: entities 100, 200 (via phrases 1→100, 2→200), phrase 3 also →200
