@@ -157,6 +157,13 @@ object KgPipeline {
       numTriples = p.triples.count())
   }
 
+  /** The analytic graph layer of a built plan: weighted undirected entity
+   * co-occurrence edges (src, dst, w) — the input [[Graph]] expects for
+   * degrees / pageRank / triangles / linkPredict. */
+  def cooccurEdges(plan: KgPlan,
+      cfg: Triples.TripleConfig = Triples.TripleConfig()): DataFrame =
+    Triples.cooccurEdges(plan.mentions, plan.entities.select("phrase_id", "entity_id"), cfg)
+
   /**
    * Checkpointed execution into a LakeTable (north rule: "resumable from
    * checkpoint with per-partition lineage + metrics"). The CLEANED layer is

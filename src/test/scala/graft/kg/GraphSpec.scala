@@ -96,6 +96,21 @@ class GraphSpec extends SparkSuite {
     assert(diag == Set((1L, 3L, 2L), (2L, 4L, 2L)))
   }
 
+  test("pipeline graph layer: KgPipeline edges feed the analytics end-to-end") {
+    val pages = graft.corpus.Synth.corpus(spark, 120)
+    val plan = KgPipeline.build(spark, pages)
+    val edges = KgPipeline.cooccurEdges(plan).persist()
+    val nEdges = edges.count()
+    assert(nEdges > 0, "synthetic corpus must produce co-occurrence edges")
+    val nNodes = Graph.degrees(edges).count()
+    assert(nNodes > 1)
+    val pr = Graph.pageRank(edges, iters = 2)
+    assert(pr.count() == nNodes)
+    val mass = pr.agg(sum(col("rank_e12"))).head.getLong(0)
+    assert(mass <= 1000000000000L && mass > 999000000000L, s"rank mass drifted: $mass")
+    edges.unpersist()
+  }
+
   test("cooccurEdges: pair weights over capped per-doc entity sets") {
     val mentions = Seq(
       // doc a: entities 100, 200 (via phrases 1→100, 2→200), phrase 3 also →200
