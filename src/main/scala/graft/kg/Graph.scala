@@ -89,22 +89,39 @@ object Graph {
     } finally adj.unpersist()
   }
 
-  /** Per-node triangle count. Edges are oriented src < dst, so each triangle
-   * a < b < c is enumerated exactly once by the two-hop join (a,b)⋈(b,c)
-   * filtered by the closing edge (a,c); each corner then receives one count.
-   * The classic optimization for skewed degree distributions — orienting
-   * edges from the lower-degree endpoint so every wedge pivot fans out at
-   * most √(2·|E|) — drops in here by re-orienting `edges` before the call;
-   * with the id orientation the per-doc entity cap upstream already bounds
-   * fan-out at test scale.
+  /** Per-node triangle count via DEGREE-ORIENTED wedge enumeration — the
+   * standard skew defense for power-law graphs, implemented rather than
+   * assumed: every edge is re-oriented from its lower endpoint under the
+   * total order ≺ = (degree, id), so each triangle x ≺ y ≺ z is enumerated
+   * exactly once as the wedge x→y, x→z closed by y→z, and every wedge PIVOT
+   * is the lowest-degree corner — out-degrees after orientation are bounded
+   * by √(2·|E|) regardless of how hubby the raw degree distribution is (a
+   * head entity co-occurring with millions of others pivots no wedges; its
+   * triangles are counted from their low-degree corners). The per-node
+   * counts are orientation-invariant, so the id-oriented SQL oracle still
+   * matches cell-exactly.
    * @param edges DataFrame(src, dst, w), src < dst, each pair once
    * @return DataFrame(entity_id, n_tri) — nodes in ≥ 1 triangle */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select("src", "dst")
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
-      .join(e.as("e3"), col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val d = symmetrize(edges).groupBy("a").agg(count(lit(1)).as("dg"))
+    val withDeg = edges.select("src", "dst")
+      .join(d.select(col("a").as("src"), col("dg").as("dsrc")), "src")
+      .join(d.select(col("a").as("dst"), col("dg").as("ddst")), "dst")
+    val oriented = withDeg.select(
+      when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")),
+        struct(col("src").as("u"), col("dst").as("v"), col("ddst").as("dv")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v"), col("dsrc").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     tri.select(col("a").as("id"))
       .unionAll(tri.select(col("b").as("id")))
       .unionAll(tri.select(col("c").as("id")))
@@ -120,14 +137,27 @@ object Graph {
    * hash-oracles like the rest of the module.
    *
    * Plan: wedge self-join on the pivot endpoint → count per candidate pair →
-   * anti-join against existing edges. Fan-out is Σ deg(pivot)² — at web scale
-   * pivot degrees get capped (or edges re-oriented lower-degree-first) before
-   * the call, the same hub treatment as [[triangles]]; the per-doc entity cap
-   * upstream already bounds the worst co-occurrence hubs.
+   * anti-join against existing edges. Fan-out is Σ deg(pivot)² — unlike
+   * [[triangles]], degree orientation cannot apply (common-neighbor counting
+   * needs full neighborhoods), so the web-scale hub defense is
+   * `maxPivotDegree`: keep only each pivot's strongest `maxPivotDegree`
+   * edges (by weight desc, then neighbor id — deterministic) before the
+   * wedge join. 0 (the default, and what the exact oracle checks) means
+   * unbounded; a capped run under-counts `common` for pairs mediated only by
+   * super-hubs, which is usually the WANTED behavior — a pivot co-occurring
+   * with everything carries no link signal, the same reasoning TF-IDF
+   * applies to stopwords.
    * @param edges DataFrame(src, dst, w), src < dst, each pair once
    * @return DataFrame(src, dst, common), non-adjacent pairs only */
-  def linkPredict(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
-    val sym = symmetrize(edges)
+  def linkPredict(edges: DataFrame, minCommon: Long = 1L,
+      maxPivotDegree: Int = 0): DataFrame = {
+    val sym0 = symmetrize(edges)
+    val sym = if (maxPivotDegree <= 0) sym0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("w").desc, col("b"))
+      sym0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxPivotDegree).drop("__rn")
+    }
     val n1 = sym.select(col("a").as("p"), col("b").as("x"))
     val n2 = sym.select(col("a").as("p"), col("b").as("y"))
     n1.join(n2, "p").filter(col("x") < col("y"))

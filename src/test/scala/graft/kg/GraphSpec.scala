@@ -81,6 +81,25 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangles(pathEdges).count() == 0L)
   }
 
+  test("triangles: degree orientation is count-invariant on a skewed star+chord") {
+    // star center 0 (deg 5) + chord (1,2): one triangle {0,1,2}; the center is
+    // the HIGHEST-degree corner, so after degree orientation it pivots no
+    // wedges — the triangle is found from corner 1
+    val g = ((1L to 5L).map(l => (0L, l, 1L)) :+ (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.triangles(g).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("linkPredict: maxPivotDegree drops wedges mediated beyond the cap") {
+    val star = Seq((0L, 1L, 5L), (0L, 2L, 3L), (0L, 3L, 1L)).toDF("src", "dst", "w")
+    val exact = Graph.linkPredict(star).as[(Long, Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // cap 2 keeps the center's strongest edges (w=5, w=3) → only (1,2) remains
+    val capped = Graph.linkPredict(star, maxPivotDegree = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L)))
+  }
+
   test("linkPredict: common neighbors of non-adjacent pairs; complete graph predicts nothing") {
     // path 1-2-3: (1,3) share pivot 2 and are non-adjacent → predicted, cn=1;
     // 10-11 isolated edge → nothing; K4 → every pair adjacent → nothing
