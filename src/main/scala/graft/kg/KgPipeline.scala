@@ -211,9 +211,6 @@ object KgPipeline {
         val ents = lake.read("entities").select("phrase_id", "entity_id")
         writeAndMark(Triples.materialize(mentions, ents, cfg.triple), "subj", "triples")
       } else {
-        if (!lake.isComplete("cleaned"))
-          writeAndMark(cleanedDocs(pages, cfg), "docId", "cleaned")
-        val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
         // The background n-gram table derives from the SAME pages snapshot as
         // the cleaned layer — commit it alongside, and feed scoring from its
         // read-back. A resume whose `pages` argument changed would otherwise
@@ -223,12 +220,27 @@ object KgPipeline {
         // corpus has an EMPTY background: the marker still lands (the empty
         // state is itself the committed decision) and resume feeds an empty
         // frame instead of recomputing from the possibly-changed input.
-        if (!lake.isComplete("background")) {
-          lake.resumableWrite(
-            bucketed(background.getOrElse(backgroundFromPages(pages, cfg)), "ngram"),
-            "bucket", "background")
-          lake.markComplete("background")
-        }
+        def commitBackground(): Unit =
+          if (!lake.isComplete("background")) {
+            lake.resumableWrite(
+              bucketed(background.getOrElse(backgroundFromPages(pages, cfg)), "ngram"),
+              "bucket", "background")
+            lake.markComplete("background")
+          }
+        if (!lake.isComplete("cleaned")) {
+          lake.resumableWrite(bucketed(cleanedDocs(pages, cfg), "docId"), "bucket", "cleaned")
+          // ORDER: background commits BEFORE the cleaned completion marker.
+          // Both layers derive from the same `pages` snapshot; with the
+          // marker last, a crash anywhere in between leaves cleaned
+          // unmarked, so a resume — even one whose pages argument changed —
+          // recomputes BOTH layers from the same (new) corpus. The reverse
+          // order had a one-stage window (cleaned marked, background not)
+          // where a changed-input resume would score OLD cleaned docs
+          // against a NEW-corpus background.
+          commitBackground()
+          if (lake.committedPartitions("cleaned").nonEmpty) lake.markComplete("cleaned")
+        } else commitBackground() // lake written before this ordering existed
+        val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
         val bg =
           if (lake.committedPartitions("background").nonEmpty)
             lake.read("background").select("ngram", "count")

@@ -90,20 +90,33 @@ final class LakeTable(spark: SparkSession, val root: String,
 
   private def ensureLoaded(): Unit = synchronized {
     if (loaded) return
-    val names = listLog()
-    val ckpt = listCkpts().collect { case (CkptRe(v), p) => (v.toLong, p) }
-      .sortBy(_._1).lastOption
-    ckptVersion = ckpt.map(_._1.toInt).getOrElse(0)
-    val fromCkpt = ckpt.toVector.flatMap { case (_, p) =>
-      Files.readString(p).linesIterator.drop(1) // line 0: checkpoint header
-        .filter(_.nonEmpty).map(parseSnapshot).toVector
+    // the list→read window races a concurrent compactMetadata on another
+    // instance (it deletes exactly the sub-horizon files): a vanished file
+    // means the log advanced mid-scan — re-list and read the merged state
+    // instead of surfacing a raw NoSuchFileException to the caller
+    var attempts = 0
+    while (!loaded) {
+      attempts += 1
+      try {
+        val names = listLog()
+        val ckpt = listCkpts().collect { case (CkptRe(v), p) => (v.toLong, p) }
+          .sortBy(_._1).lastOption
+        ckptVersion = ckpt.map(_._1.toInt).getOrElse(0)
+        val fromCkpt = ckpt.toVector.flatMap { case (_, p) =>
+          Files.readString(p).linesIterator.drop(1) // line 0: checkpoint header
+            .filter(_.nonEmpty).map(parseSnapshot).toVector
+        }
+        val loose = names
+          .collect { case (SnapRe(v), p) if v.toLong > ckptVersion => (v.toLong, p) }
+          .sortBy(_._1)
+          .map { case (_, p) => parseSnapshot(Files.readString(p)) }
+        logCache = (fromCkpt ++ loose).sortBy(_.version)
+        loaded = true
+      } catch {
+        case _: java.nio.file.NoSuchFileException if attempts < 5 =>
+          () // concurrent compaction folded the log mid-scan; rescan
+      }
     }
-    val loose = names
-      .collect { case (SnapRe(v), p) if v.toLong > ckptVersion => (v.toLong, p) }
-      .sortBy(_._1)
-      .map { case (_, p) => parseSnapshot(Files.readString(p)) }
-    logCache = (fromCkpt ++ loose).sortBy(_.version)
-    loaded = true
   }
 
   def snapshots: Seq[Snapshot] = synchronized { ensureLoaded(); logCache }
@@ -340,12 +353,15 @@ final class LakeTable(spark: SparkSession, val root: String,
   }
 
   private def expireBelow(horizon: Int): Unit = {
+    // deleteIfExists: two instances running the (idempotent) expiry sweep at
+    // the same horizon race each other's deletes — a vanished file is the
+    // sweep's goal state, not an error
     listLog().foreach {
-      case (SnapRe(v), p) if v.toLong <= horizon => Files.delete(p)
+      case (SnapRe(v), p) if v.toLong <= horizon => Files.deleteIfExists(p); ()
       case _ => ()
     }
     listCkpts().foreach {
-      case (CkptRe(v), p) if v.toLong < horizon => Files.delete(p)
+      case (CkptRe(v), p) if v.toLong < horizon => Files.deleteIfExists(p); ()
       case _ => ()
     }
   }

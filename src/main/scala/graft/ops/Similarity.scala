@@ -300,9 +300,16 @@ object Similarity {
 
   /** Seed + Lloyd-refine centroids over a materialized (id, vec) table.
    * Deterministic seeds: the nCells vectors with the smallest xxhash64(id) —
-   * a seeded uniform sample, no Math.random. */
+   * a seeded uniform sample, no Math.random. MALFORMED rows (null vector,
+   * null element, empty) are excluded from seeding: a null-vector seed would
+   * NPE the centroid collect, and a null ELEMENT would silently unbox to 0.0
+   * — the exact silent-zero corruption the assign kernel's NaN contract
+   * exists to prevent; such rows still get ASSIGNED (to the NaN-ranked
+   * lowest cells) downstream, they just can't define cell geometry. */
   private def trainCentroids(base: DataFrame, cfg: IvfConfig): DataFrame = {
     var centroids = base
+      .filter(col("vec").isNotNull && size(col("vec")) > 0 &&
+        !exists(col("vec"), _.isNull))
       .withColumn("__r", xxhash64(col("id")))
       .orderBy("__r").limit(cfg.nCells)
       .withColumn("cell", row_number().over(Window.orderBy(col("__r"))) - 1)
@@ -326,26 +333,23 @@ object Similarity {
     centroids
   }
 
-  /** Assign each vector to its `maxRank` nearest centroids (max cosine;
-   * deterministic cell-id tie-break, NaN ranked first to mirror Spark's
-   * NaN-greatest descending sort) — the centroid MATRIX (nCells × dims
-   * doubles, tiny by construction) is collected and broadcast, and the
-   * per-row arg-top-maxRank is computed NARROWLY in one mapPartitions pass.
-   * ZERO exchanges of the corpus: the round-3 crossJoin+window formulation
-   * planned an Exchange hashpartitioning(id) of N×nCells full-vector rows
-   * per Lloyd iteration, which at 10⁹ vectors is the dominant cost of the
-   * whole index build (round-3 verdict #1); the plan shape is pinned in
-   * SimilarityPlansSpec. maxRank = 1 is index assignment; > 1 is the
-   * multi-assign near-dup blocking. */
   /** Centroid matrix collected to the driver as (cell, vector, norm),
-   * cell-ascending — nCells × dims doubles, tiny by construction. */
+   * cell-ascending — nCells × dims doubles, tiny by construction. Nulls fail
+   * LOUDLY: seeding filters malformed vectors and Lloyd means of non-null
+   * inputs are non-null, so a null here means a caller handed a corrupt
+   * centroid table — better a diagnostic than an NPE (null array) or a
+   * silent 0.0 unboxing (null element). */
   private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double], Double)] =
     centroids.select(col("cell").cast("int"), col("centroid"))
       .collect()
       .map { r =>
-        val v = r.getSeq[Double](1).toArray
+        require(!r.isNullAt(1), s"null centroid vector for cell ${r.getInt(0)}")
+        val sq = r.getSeq[java.lang.Double](1)
+        require(!sq.contains(null),
+          s"null element in centroid vector for cell ${r.getInt(0)}")
+        val v = new Array[Double](sq.length)
         var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        while (i < v.length) { v(i) = sq(i).doubleValue(); s += v(i) * v(i); i += 1 }
         (r.getInt(0), v, math.sqrt(s))
       }
       .sortBy(_._1)
@@ -359,6 +363,17 @@ object Similarity {
     }
   }
 
+  /** Assign each vector to its `maxRank` nearest centroids (max cosine;
+   * deterministic cell-id tie-break, NaN ranked first to mirror Spark's
+   * NaN-greatest descending sort) — the centroid MATRIX (nCells × dims
+   * doubles, tiny by construction) is collected and broadcast, and the
+   * per-row arg-top-maxRank is computed NARROWLY in one mapPartitions pass.
+   * ZERO exchanges of the corpus: the round-3 crossJoin+window formulation
+   * planned an Exchange hashpartitioning(id) of N×nCells full-vector rows
+   * per Lloyd iteration, which at 10⁹ vectors is the dominant cost of the
+   * whole index build (round-3 verdict #1); the plan shape is pinned in
+   * SimilarityPlansSpec. maxRank = 1 is index assignment; > 1 is the
+   * multi-assign near-dup blocking. */
   private def assign(base: DataFrame, centroids: DataFrame, maxRank: Int = 1): DataFrame = {
     val spark = base.sparkSession
     val cents = collectCentroids(centroids)

@@ -50,27 +50,39 @@ object EventStream {
 
   final case class SessEvent(user_id: Long, us: Long, ts: java.sql.Timestamp)
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class PendingSessions(sessions: Seq[OpenSession])
   final case class ClosedSession(user_id: Long, start_us: Long, n_events: Long, dur_us: Long)
 
   /**
    * Streaming session windows (the stream twin of the `q9_sessionize` batch
    * query): per-user sessions split at `gapUs` inactivity, built with
    * flatMapGroupsWithState + EventTimeTimeout — the canonical arbitrary-state
-   * streaming pattern. A session CLOSES (and emits) either when a later
-   * event of the same user arrives past the gap, or when the event-time
-   * watermark passes sessionEnd + gap (timeout) — so output is append-only
-   * and state is bounded at one open session per active user.
+   * streaming pattern.
    *
-   * Disorder contract: events are sorted within each micro-batch group;
-   * across batches the watermark bounds lateness — an event landing inside
-   * the open session's [start − gap, last + gap] envelope merges into it,
-   * anything later starts a new session, and Spark DROPS events older than
-   * the watermark before they reach the state function. The default delay
-   * therefore equals the session gap: an event late enough to be dropped is
-   * also too late to merge into any session that could still be open, so the
-   * default loses nothing a 30-minute-gap sessionizer could use ("0 seconds"
-   * would silently drop ANY cross-batch disorder). Time math is in
-   * event-time MICROSECONDS end-to-end (like q9).
+   * A session EMITS only when the event-time watermark passes its
+   * last-event + gap — never eagerly when a later event arrives past the
+   * gap. Eager emission (the naive formulation) breaks the batch twin under
+   * cross-batch disorder: an event above the watermark but inside an
+   * already-emitted session's envelope (e.g. events 0 s then 3000 s in
+   * earlier batches, 1500 s arriving later with gap 1800 s) would bridge two
+   * sessions batch-q9 counts as ONE, and append mode can never retract the
+   * early emission. Instead the state holds ALL pending sessions of the
+   * user; each batch merges new events in (an event within gap of two
+   * pending sessions bridges them, summing counts) and only sessions whose
+   * envelope the watermark has strictly passed — which no future event ≥
+   * watermark can ever extend — are emitted. Stream == batch for every
+   * disorder the watermark admits (pinned in MultimodalStreamingSpec,
+   * including the bridge case above).
+   *
+   * State stays bounded: a pending session matures one gap after its last
+   * event, so per user there are at most O(watermarkDelay / gap) + 1 pending
+   * sessions regardless of stream length; Spark drops events older than the
+   * watermark before they reach the state function. The default delay equals
+   * the session gap: an event late enough to be dropped is also too late to
+   * merge into any session that could still be pending, so the default loses
+   * nothing a 30-minute-gap sessionizer could use ("0 seconds" would
+   * silently drop ANY cross-batch disorder). Time math is in event-time
+   * MICROSECONDS end-to-end (like q9).
    */
   def sessionWindows(spark: SparkSession, events: DataFrame,
       gapUs: Long = 1800000000L, watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {
@@ -82,38 +94,35 @@ object EventStream {
         unix_micros(col("ts")).as("us"), col("ts"))
       .as[SessEvent]
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[PendingSessions, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
-          val out = Vector.newBuilder[ClosedSession]
-          if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: nothing can merge anymore
-            state.getOption.foreach(o =>
-              out += ClosedSession(uid, o.startUs, o.n, o.lastUs - o.startUs))
-            state.remove()
-          } else {
-            val evs = it.map(_.us).toArray
-            java.util.Arrays.sort(evs)
-            var open = state.getOption
-            evs.foreach { us =>
-              open match {
-                case Some(o) if us >= o.startUs - gapUs && us <= o.lastUs + gapUs =>
-                  open = Some(OpenSession(math.min(o.startUs, us),
-                    math.max(o.lastUs, us), o.n + 1))
-                case Some(o) =>
-                  out += ClosedSession(uid, o.startUs, o.n, o.lastUs - o.startUs)
-                  open = Some(OpenSession(us, us, 1))
-                case None =>
-                  open = Some(OpenSession(us, us, 1))
-              }
-            }
-            open.foreach { o =>
-              state.update(o)
-              // ms epoch, strictly past the merge envelope
-              state.setTimeoutTimestamp((o.lastUs + gapUs) / 1000 + 1)
-            }
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[PendingSessions]) =>
+          // one code path for data batches AND timeout wake-ups (the iterator
+          // is simply empty on timeout): merge, then emit what matured
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming = it.map(e => OpenSession(e.us, e.us, 1L)).toSeq
+          val all = (prior ++ incoming).sortBy(s => (s.startUs, s.lastUs))
+          val merged = Vector.newBuilder[OpenSession]
+          var cur: OpenSession = null
+          all.foreach { s =>
+            if (cur == null) cur = s
+            else if (s.startUs <= cur.lastUs + gapUs)
+              cur = OpenSession(cur.startUs, math.max(cur.lastUs, s.lastUs), cur.n + s.n)
+            else { merged += cur; cur = s }
           }
-          out.result().iterator
+          if (cur != null) merged += cur
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strict <: a future event can be exactly AT the watermark and
+          // still extend a session whose envelope touches it
+          val (matured, pending) = merged.result().partition(_.lastUs + gapUs < wmUs)
+          if (pending.nonEmpty) {
+            state.update(PendingSessions(pending))
+            // earliest maturity, ms epoch, strictly past the merge envelope;
+            // kept sessions satisfy lastUs + gap >= wmUs so this is always
+            // above the current watermark (setTimeoutTimestamp's contract)
+            state.setTimeoutTimestamp(pending.map(s => (s.lastUs + gapUs) / 1000L).min + 1L)
+          } else state.remove()
+          matured.iterator.map(s => ClosedSession(uid, s.startUs, s.n, s.lastUs - s.startUs))
       }
   }
 

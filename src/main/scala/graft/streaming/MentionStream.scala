@@ -62,6 +62,12 @@ object MentionStream {
     // (parse-count pinned in MentionStreamSpec). Callers may inject their own
     // instance to share the cache (single writer per root — LakeTable's OCC
     // publish turns a violation into a loud error, not silent loss).
+    require(table.forall(_.root == lakeRoot),
+      s"injected LakeTable root '${table.get.root}' != lakeRoot '$lakeRoot' — the " +
+        "stream checkpoint lives under lakeRoot while data + the replay ledger " +
+        "live under the table's root; splitting them defeats the " +
+        "wiped-checkpoint/grown-input guard (wipe one, not the other, and the " +
+        "ledger protects a checkpoint that no longer exists)")
     val lake = table.getOrElse(new LakeTable(spark, lakeRoot))
     val mentions = Tagger.tag(spark, docs, bc, cfg).toDF()
       .select(col("docId").as("url"), explode(col("spans")).as("s"))

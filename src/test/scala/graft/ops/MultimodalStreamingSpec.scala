@@ -135,6 +135,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("session windows: cross-batch disorder bridges sessions like batch (no eager emit)") {
+    // events 0s → batch 1, 3000s → batch 2, then 1500s → batch 3 (above the
+    // watermark 3000−1800 = 1200s, so NOT late): with gap 1800s all three are
+    // ONE session in batch-q9 semantics. An eager formulation would emit
+    // [0,0] on seeing 3000s and could never retract it — the watermark-only
+    // emission must yield exactly one session of 3 events.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base offset keeps event times off epoch 0 — Spark's initial watermark
+    // IS 0, and a row at exactly the watermark is late-filtered before the
+    // state function (a degenerate-timestamp artifact, not session logic)
+    val base = 100000L
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000L)
+    val q = EventStream.sessionWindows(spark,
+        ms.toDF().toDF("user_id", "ts"), gapUs = 1800000000L)
+      .writeStream.format("memory").queryName("sess_disorder")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((7L, ts(0))); q.processAllAvailable()
+      ms.addData((7L, ts(3000))); q.processAllAvailable()
+      ms.addData((7L, ts(1500))); q.processAllAvailable()
+      ms.addData((-1L, ts(100000000))); q.processAllAvailable() // watermark sentinel
+      q.processAllAvailable() // timeout trigger drains matured sessions
+      val got = spark.table("sess_disorder").filter(col("user_id") === 7L)
+        .select("start_us", "n_events", "dur_us")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq((base * 1000000L, 3L, 3000000000L)),
+        s"expected one bridged session of 3 events, got $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user totals") {
     val ev = spark.read.parquet(eventsDir)
       .select(col("user_id"), col("event_type"), col("value"))
