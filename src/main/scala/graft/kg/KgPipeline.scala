@@ -157,6 +157,21 @@ object KgPipeline {
       numTriples = p.triples.count())
   }
 
+  /** Ledger stage name for the checkpointed run's input fingerprint. */
+  private[graft] val inputFpStage = "__input__"
+
+  /** Order-independent corpus fingerprint: xor-fold of url hashes + row
+   * count (xor alone cancels duplicate urls pairwise). One column-pruned
+   * scan — the proportionate identity check for a resume gate; it detects
+   * added/removed/renamed pages, not in-place text edits (which the lake's
+   * value-keyed resume could not repair either way). */
+  def corpusFingerprint(pages: Dataset[WebPage]): String = {
+    val r = pages.toDF().agg(
+      coalesce(bit_xor(xxhash64(col("url"))), lit(0L)).as("x"),
+      count(lit(1)).as("n")).head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
   /** The analytic graph layer of a built plan: weighted undirected entity
    * co-occurrence edges (src, dst, w) — the input [[Graph]] expects for
    * degrees / pageRank / triangles / linkPredict. */
@@ -211,35 +226,48 @@ object KgPipeline {
         val ents = lake.read("entities").select("phrase_id", "entity_id")
         writeAndMark(Triples.materialize(mentions, ents, cfg.triple), "subj", "triples")
       } else {
-        // The background n-gram table derives from the SAME pages snapshot as
-        // the cleaned layer — commit it alongside, and feed scoring from its
-        // read-back. A resume whose `pages` argument changed would otherwise
-        // recompute the background from the NEW corpus while docs come from
-        // the OLD committed cleaned layer, silently shifting salience
-        // thresholds and the phrase set (round-3 ADVICE). An all-`lang`
-        // corpus has an EMPTY background: the marker still lands (the empty
-        // state is itself the committed decision) and resume feeds an empty
-        // frame instead of recomputing from the possibly-changed input.
-        def commitBackground(): Unit =
-          if (!lake.isComplete("background")) {
-            lake.resumableWrite(
-              bucketed(background.getOrElse(backgroundFromPages(pages, cfg)), "ngram"),
-              "bucket", "background")
-            lake.markComplete("background")
-          }
+        // CORPUS-CONSISTENCY GATE. Value-keyed resume assumes a STABLE input
+        // snapshot: with any input layer (cleaned/background) incomplete, a
+        // resume whose `pages` argument changed would compute the MISSING
+        // buckets from the new corpus while committed buckets hold the old
+        // one — mixing corpora inside the cleaned layer itself, or scoring
+        // old cleaned docs against a new-corpus background (round-3 ADVICE;
+        // commit-ordering alone cannot close this, because resumableWrite
+        // rightly skips committed buckets). The gate is an intent-first
+        // input fingerprint (url-hash xor + count, one pruned-column scan)
+        // committed BEFORE any input-layer data: a changed-input resume
+        // fails LOUDLY instead of silently shifting the phrase set. Once
+        // BOTH input layers are complete the pages argument is ignored
+        // entirely (the lake defines the corpus — pinned in LakeSpec), so
+        // the scan is skipped on the fast path.
+        if (!(lake.isComplete("cleaned") && lake.isComplete("background"))) {
+          val fp = corpusFingerprint(pages)
+          val prior = lake.committedPartitions(inputFpStage).keySet
+          if (prior.isEmpty) {
+            import spark.implicits._
+            lake.resumableWrite(Seq(fp).toDF("fp").withColumn("part", lit(fp)),
+              "part", inputFpStage)
+          } else if (!prior.contains(fp)) throw new IllegalStateException(
+            s"resume corpus mismatch: this lake's input layers were computed from a " +
+              s"corpus with fingerprint ${prior.head} but the pages argument " +
+              s"fingerprints $fp — resuming would mix corpora across buckets/layers. " +
+              "Resume with the SAME input snapshot, or start a fresh lake root.")
+        }
+        // The background n-gram table derives from the same pages snapshot
+        // as the cleaned layer — committed alongside it (fingerprint-gated
+        // above), scoring feeds from its read-back. An all-`lang` corpus has
+        // an EMPTY background: the marker still lands (the empty state is
+        // itself the committed decision) and resume feeds an empty frame.
         if (!lake.isComplete("cleaned")) {
           lake.resumableWrite(bucketed(cleanedDocs(pages, cfg), "docId"), "bucket", "cleaned")
-          // ORDER: background commits BEFORE the cleaned completion marker.
-          // Both layers derive from the same `pages` snapshot; with the
-          // marker last, a crash anywhere in between leaves cleaned
-          // unmarked, so a resume — even one whose pages argument changed —
-          // recomputes BOTH layers from the same (new) corpus. The reverse
-          // order had a one-stage window (cleaned marked, background not)
-          // where a changed-input resume would score OLD cleaned docs
-          // against a NEW-corpus background.
-          commitBackground()
           if (lake.committedPartitions("cleaned").nonEmpty) lake.markComplete("cleaned")
-        } else commitBackground() // lake written before this ordering existed
+        }
+        if (!lake.isComplete("background")) {
+          lake.resumableWrite(
+            bucketed(background.getOrElse(backgroundFromPages(pages, cfg)), "ngram"),
+            "bucket", "background")
+          lake.markComplete("background")
+        }
         val docs = lake.read("cleaned").select("docId", "warc_ts", "tokens")
         val bg =
           if (lake.committedPartitions("background").nonEmpty)

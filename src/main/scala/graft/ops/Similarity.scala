@@ -300,25 +300,44 @@ object Similarity {
 
   /** Seed + Lloyd-refine centroids over a materialized (id, vec) table.
    * Deterministic seeds: the nCells vectors with the smallest xxhash64(id) —
-   * a seeded uniform sample, no Math.random. MALFORMED rows (null vector,
-   * null element, empty) are excluded from seeding: a null-vector seed would
-   * NPE the centroid collect, and a null ELEMENT would silently unbox to 0.0
-   * — the exact silent-zero corruption the assign kernel's NaN contract
-   * exists to prevent; such rows still get ASSIGNED (to the NaN-ranked
-   * lowest cells) downstream, they just can't define cell geometry. */
+   * a seeded uniform sample, no Math.random.
+   *
+   * Cell GEOMETRY is trained only on well-formed vectors of the index
+   * dimensionality (the hash-min seed's length): malformed rows (null
+   * vector, null element, empty) and dimension outliers are excluded from
+   * BOTH seeding and the Lloyd means. Without the training filter a single
+   * 7-dim vector in a 4-dim corpus scores NaN against every centroid, lands
+   * in the lowest cell (NaN ranks first), and its elements poison that
+   * cell's posexplode mean into a 7-dim centroid — after which EVERY row
+   * mismatches that centroid and the whole index collapses into one cell.
+   * Malformed rows still get ASSIGNED downstream (deterministically to the
+   * lowest cells via the NaN contract); they just can't define geometry. An
+   * all-malformed corpus fails LOUDLY here instead of returning an empty
+   * index. */
   private def trainCentroids(base: DataFrame, cfg: IvfConfig): DataFrame = {
-    var centroids = base
-      .filter(col("vec").isNotNull && size(col("vec")) > 0 &&
-        !exists(col("vec"), _.isNull))
+    val spark = base.sparkSession
+    val valid = base.filter(col("vec").isNotNull && size(col("vec")) > 0 &&
+      !exists(col("vec"), _.isNull))
+    val seedRows = valid
       .withColumn("__r", xxhash64(col("id")))
       .orderBy("__r").limit(cfg.nCells)
-      .withColumn("cell", row_number().over(Window.orderBy(col("__r"))) - 1)
-      .select(col("cell"), col("vec").as("centroid"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.nonEmpty,
+      "ivfIndex: no valid vectors to seed centroids — every row has a " +
+        "null/empty vector or a null element; fix the embedding column " +
+        "upstream (a silent empty index would drop the whole corpus)")
+    val dims = seedRows.head.length
+    val seeds = seedRows.filter(_.length == dims)
+    import spark.implicits._
+    var centroids = seeds.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val trainBase = valid.filter(size(col("vec")) === dims)
 
     // Lloyd refinement: assign to nearest centroid (broadcast), mean per cell.
     // element-wise mean via posexplode + groupBy (cell, pos) — one shuffle.
     for (_ <- 1 to cfg.lloydIter) {
-      val assigned = assign(base, centroids)
+      val assigned = assign(trainBase, centroids)
       // localCheckpoint per iteration: the centroid table is tiny, and without
       // it the loop's lineage compounds — every later iteration (and the final
       // assign) would re-execute all previous Lloyd rounds from scratch

@@ -77,12 +77,17 @@ object EventStream {
    * State stays bounded: a pending session matures one gap after its last
    * event, so per user there are at most O(watermarkDelay / gap) + 1 pending
    * sessions regardless of stream length; Spark drops events older than the
-   * watermark before they reach the state function. The default delay equals
-   * the session gap: an event late enough to be dropped is also too late to
-   * merge into any session that could still be pending, so the default loses
-   * nothing a 30-minute-gap sessionizer could use ("0 seconds" would
-   * silently drop ANY cross-batch disorder). Time math is in event-time
-   * MICROSECONDS end-to-end (like q9).
+   * watermark before they reach the state function. Lateness bound (the
+   * standard watermark trade-off, stated honestly): the watermark is GLOBAL
+   * — max event time across ALL users minus `watermarkDelay` — so an event
+   * more than `watermarkDelay` behind the stream's frontier is dropped even
+   * if its own user's pending session could still have absorbed it (one
+   * user's burst can advance the frontier past another user's straggler),
+   * and such a drop under-counts that session vs the batch twin. That loss
+   * window is exactly `watermarkDelay`, tunable per deployment ("0 seconds"
+   * would drop ANY cross-batch disorder; raise the delay to tolerate more
+   * frontier skew at the price of later emission and more pending state).
+   * Time math is in event-time MICROSECONDS end-to-end (like q9).
    */
   def sessionWindows(spark: SparkSession, events: DataFrame,
       gapUs: Long = 1800000000L, watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {

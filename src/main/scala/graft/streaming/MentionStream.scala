@@ -62,12 +62,16 @@ object MentionStream {
     // (parse-count pinned in MentionStreamSpec). Callers may inject their own
     // instance to share the cache (single writer per root — LakeTable's OCC
     // publish turns a violation into a loud error, not silent loss).
-    require(table.forall(_.root == lakeRoot),
-      s"injected LakeTable root '${table.get.root}' != lakeRoot '$lakeRoot' — the " +
-        "stream checkpoint lives under lakeRoot while data + the replay ledger " +
-        "live under the table's root; splitting them defeats the " +
-        "wiped-checkpoint/grown-input guard (wipe one, not the other, and the " +
-        "ledger protects a checkpoint that no longer exists)")
+    // compare normalized paths, not raw strings — "/lake" vs "/lake/" vs a
+    // relative spelling of the same directory are the SAME co-located root
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(table.forall(t => norm(t.root) == norm(lakeRoot)),
+      s"injected LakeTable root '${table.map(_.root).getOrElse("")}' != lakeRoot " +
+        s"'$lakeRoot' — the stream checkpoint lives under lakeRoot while data + " +
+        "the replay ledger live under the table's root; splitting them defeats " +
+        "the wiped-checkpoint/grown-input guard (wipe one, not the other, and " +
+        "the ledger protects a checkpoint that no longer exists)")
     val lake = table.getOrElse(new LakeTable(spark, lakeRoot))
     val mentions = Tagger.tag(spark, docs, bc, cfg).toDF()
       .select(col("docId").as("url"), explode(col("spans")).as("s"))

@@ -306,6 +306,35 @@ class LakeSpec extends SparkSuite {
     assert(resumed == expected && expected.nonEmpty)
   }
 
+  test("changed-input resume with INCOMPLETE input layers fails loudly (corpus fingerprint gate)") {
+    // With cleaned data committed but NOT marked complete, a resume whose
+    // pages argument changed would fill the missing buckets from the new
+    // corpus while committed buckets hold the old one — mixing corpora
+    // inside the cleaned layer itself (commit ordering cannot prevent this;
+    // resumableWrite rightly skips committed buckets). The intent-first
+    // input fingerprint turns that into a loud failure.
+    val root = tmpRoot()
+    val lake = new LakeTable(spark, root)
+    val cfg = graft.kg.KgPipeline.KgConfig()
+    val pages1 = graft.corpus.Synth.corpus(spark, 100)
+    import spark.implicits._
+    val fp1 = graft.kg.KgPipeline.corpusFingerprint(pages1)
+    lake.resumableWrite(Seq(fp1).toDF("fp").withColumn("part", lit(fp1)),
+      "part", graft.kg.KgPipeline.inputFpStage)
+    lake.resumableWrite(
+      graft.kg.KgPipeline.cleanedDocs(pages1, cfg)
+        .withColumn("bucket", pmod(xxhash64(col("docId")), lit(4L))),
+      "bucket", "cleaned") // crash before markComplete("cleaned")
+    val pages2 = graft.corpus.Synth.corpus(spark, 40)
+    val ex = intercept[IllegalStateException] {
+      graft.kg.KgPipeline.runCheckpointed(spark, pages2, root, buckets = 4)
+    }
+    assert(ex.getMessage.contains("corpus mismatch"), ex.getMessage)
+    // same-corpus resume proceeds normally through the gate
+    val trip = graft.kg.KgPipeline.runCheckpointed(spark, pages1, root, buckets = 4)
+    assert(trip.count() > 0)
+  }
+
   test("partial resume: triples rebuilt from committed mention/entity layers, no upstream recompute") {
     val root = tmpRoot()
     val pages = graft.corpus.Synth.corpus(spark, 150)

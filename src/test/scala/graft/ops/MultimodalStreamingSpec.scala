@@ -157,8 +157,13 @@ class StreamingSpec extends SparkSuite {
       ms.addData((7L, ts(0))); q.processAllAvailable()
       ms.addData((7L, ts(3000))); q.processAllAvailable()
       ms.addData((7L, ts(1500))); q.processAllAvailable()
-      ms.addData((-1L, ts(100000000))); q.processAllAvailable() // watermark sentinel
-      q.processAllAvailable() // timeout trigger drains matured sessions
+      // TWO sentinels: the first advances the watermark past user 7's
+      // envelope; the second's DATA batch then processes the fired timeout —
+      // processAllAvailable awaits data batches but not the asynchronous
+      // no-data timeout batch, so relying on the latter would be racy
+      ms.addData((-1L, ts(100000000))); q.processAllAvailable()
+      ms.addData((-1L, ts(100010000))); q.processAllAvailable()
+      q.processAllAvailable() // belt-and-braces drain
       val got = spark.table("sess_disorder").filter(col("user_id") === 7L)
         .select("start_us", "n_events", "dur_us")
         .as[(Long, Long, Long)].collect().toSeq
