@@ -94,15 +94,26 @@ object KgPipeline {
    * executor memory+disk cache.
    */
   def buildFromCleaned(spark: SparkSession, docs: DataFrame,
-      background: DataFrame, cfg: KgConfig = KgConfig()): KgPlan = {
+      background: DataFrame, cfg: KgConfig = KgConfig()): KgPlan =
+    buildFromCounts(spark, docs,
+      Miner.mine(docs, "tokens", cfg.mine.copy(ordered = false)).select("ngram", "count"),
+      background, cfg)
+
+  /** As [[buildFromCleaned]], but from an externally-supplied domain n-gram
+   * count table — the entry point for [[Incremental]] epochs, whose merged
+   * per-epoch count layers replace the direct mine (`Miner.mine` over the
+   * union corpus ≡ a sum-merge of per-epoch `minCount = 1` mines, so the two
+   * paths are interchangeable; IncrementalSpec pins the equality end-to-end). */
+  def buildFromCounts(spark: SparkSession, docs: DataFrame,
+      domainCounts: DataFrame, background: DataFrame,
+      cfg: KgConfig = KgConfig()): KgPlan = {
     import spark.implicits._
-    val mined = Miner.mine(docs, "tokens", cfg.mine.copy(ordered = false))
     val bg = background
 
     // scored is consumed by Builder.collect, the linker and the entity table —
     // persist the (small, thresholded) phrase set; Builder's stats aggregate
     // is the action that materializes it
-    val scored = Scorer.score(mined.select("ngram", "count"), bg, cfg.score).persist()
+    val scored = Scorer.score(domainCounts, bg, cfg.score).persist()
 
     val (model, _) = Builder.build(scored.withColumnRenamed("domain_count", "count"))
     val bc = spark.sparkContext.broadcast(model)
