@@ -1085,6 +1085,94 @@ cand AS (SELECT n1.b AS x, n2.b AS y, CAST(count(*) AS BIGINT) AS common
 SELECT c.x AS src, c.y AS dst, c.common FROM cand c
 LEFT JOIN ed e ON e.src = c.x AND e.dst = c.y
 WHERE e.src IS NULL ORDER BY src, dst""")),
+
+    // ---------- training-data curation operators ----------
+
+    // Gopher/MassiveText-style quality-filter flags (word-count bounds, mean
+    // word length, alphabetic-word fraction, stopword presence) — the
+    // standard pre-training document filter, per-doc, one narrow pass. The
+    // pass flag is computed from the ROUNDED statistics in both engines so
+    // threshold comparisons see identical numbers.
+    ("ta_gopher_quality",
+      (s: SparkSession, dir: String) => {
+        val stop = Seq("the", "a", "of", "in", "for", "to", "and", "is", "was", "on")
+        toks(s, dir).select(col("doc_id"),
+            size(col("t")).cast("long").as("n_words"),
+            round(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+              .cast("double") / size(col("t")).cast("double"), 6).as("mean_word_len"),
+            round(size(filter(col("t"), x => x.rlike("[a-z]"))).cast("double") /
+              size(col("t")).cast("double"), 6).as("alpha_frac"),
+            size(filter(array(stop.map(lit): _*),
+              sw => array_contains(col("t"), sw))).cast("long").as("stop_hits"))
+          .withColumn("gopher_pass",
+            col("n_words").between(20, 100000) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("alpha_frac") >= 0.8 && col("stop_hits") >= 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+m AS (SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_words,
+  round(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t), 6) AS mean_word_len,
+  round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac,
+  CAST(len(list_filter(['the','a','of','in','for','to','and','is','was','on'], s -> list_contains(t, s))) AS BIGINT) AS stop_hits
+FROM t)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+  (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS gopher_pass
+FROM m ORDER BY doc_id""")),
+
+    // Deterministic train/valid/test assignment by content-free stable hash —
+    // the split must survive corpus growth and re-partitioning, so it keys on
+    // md5(doc_id) hex compared as STRINGS (byte-identical across engines; no
+    // hex→int parsing divergence): 'cc'/256 ≈ 80%, 'e6'/256 ≈ 90%.
+    ("ta_split_assign",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+          .withColumn("split",
+            when(col("h") < "cc", "train")
+              .when(col("h") < "e6", "valid").otherwise("test"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""")),
+
+    // Per-source dataset-card rollup: doc counts, exact-dup rate (via content
+    // hash), language spread, mean length — the head-domain aggregation shape
+    // (source ≈ crawl host) that motivates the salted-repartition story at
+    // 10^12 docs; here a partial-agg groupBy on a low-cardinality key.
+    ("web_source_stats",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            countDistinct(md5(col("text"))).as("distinct_texts"),
+            round(avg(col("n_chars")), 6).as("avg_chars"),
+            countDistinct(col("lang")).as("langs"))
+          .withColumn("dup_docs", col("docs") - col("distinct_texts"))
+          .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+  round(avg(n_chars), 6) AS avg_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Document-length histogram (width-50 bins) — the dataset-distribution
+    // stat every curation report starts with; one partial-agg shuffle
+    ("ta_length_hist",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents")
+          .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bin"))
+          .agg(count(lit(1)).as("docs"))
+          .orderBy("bin"),
+      Some("""SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS docs
+FROM documents GROUP BY 1 ORDER BY 1""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
