@@ -1173,6 +1173,63 @@ FROM documents GROUP BY 1 ORDER BY 1""")),
       Some("""SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin,
   CAST(count(*) AS BIGINT) AS docs
 FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Deterministic stratified down-sampling to ≈120 docs/source: integer
+    // hash-threshold survival (bucket·n < quota·65536), one partial-agg
+    // shuffle for group sizes + a narrow corpus filter — the corpus itself
+    // never shuffles (ops.Curation). Oracle mirrors the integer arithmetic
+    // exactly via a window count.
+    ("ta_sample_stratified",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.stratifiedSample(
+            table(s, dir, "documents"), "source", "doc_id", 120L)
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+WHERE b * n < 120 * 65536 ORDER BY doc_id""")),
+
+    // Greedy sequential sequence packing into 512-token bins per source
+    // (ops.Curation.packSequences): one shuffle on the shard key, per-shard
+    // linear greedy scan. The oracle replays the exact greedy recurrence as
+    // a recursive CTE (the w1 leftmost-longest oracle's technique).
+    ("ta_pack_sequences",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.packSequences(
+            toks(s, dir).join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+              .select(col("source"), col("doc_id"), size(col("t")).as("len")),
+            "source", "doc_id", "len", budget = 512L)
+          .select(col("source"), col("doc_id"), col("len"), col("bin"))
+          .orderBy("source", "doc_id"),
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS len, source FROM documents),
+r AS (SELECT source, doc_id, len, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM tk),
+rec(source, rn, doc_id, len, bin, acc) AS (
+  SELECT source, rn, doc_id, len, CAST(0 AS BIGINT), len FROM r WHERE rn = 1
+  UNION ALL
+  SELECT n.source, n.rn, n.doc_id, n.len,
+    CASE WHEN rec.acc > 0 AND rec.acc + n.len > 512 THEN rec.bin + 1 ELSE rec.bin END,
+    CASE WHEN rec.acc > 0 AND rec.acc + n.len > 512 THEN n.len ELSE rec.acc + n.len END
+  FROM rec JOIN r n ON n.source = rec.source AND n.rn = rec.rn + 1)
+SELECT source, doc_id, len, bin FROM rec ORDER BY source, doc_id""")),
+
+    // CCNet-style unigram-LM document scoring: add-one-smoothed NLL of each
+    // doc under the corpus' own token distribution (ops.Curation.lmScore) —
+    // token counts = one partial-agg shuffle, scoring = token-keyed join
+    // (vocab-scale build side broadcasts), totals = broadcast 1-row.
+    ("ta_lm_nll",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.lmScore(toks(s, dir), "doc_id", "t")
+          .select(col("doc_id"), round(col("nll"), 6).as("nll"))
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c)
+SELECT e.doc_id, round(avg(-ln((CAST(c.cnt AS DOUBLE) + 1.0) / (tot.n + tot.v))), 6) AS nll
+FROM e JOIN c USING (tok), tot GROUP BY e.doc_id ORDER BY e.doc_id""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
