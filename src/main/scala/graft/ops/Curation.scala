@@ -101,6 +101,12 @@ object Curation {
    * both correct, both declarative. Totals ride a broadcast 1-row cross
    * join. Out-of-vocabulary tokens (scoring corpus ≠ training corpus)
    * score as pure smoothing mass, ln((0+1)/(N+V)), via the left join.
+   *
+   * The count table is eagerly materialized (localCheckpoint — vocab-scale
+   * rows, blocks freed by the ContextCleaner): without it, BOTH the totals
+   * aggregate and the score join would re-derive the counts subtree and the
+   * training corpus would be scanned+tokenized three times instead of once
+   * (pinned in CurationPlansSpec).
    */
   def lmScore(toks: DataFrame, idCol: String, tokCol: String,
       lmToks: Option[DataFrame] = None): DataFrame = {
@@ -110,6 +116,7 @@ object Curation {
       case None     => scoreTerms.select(col("tok"))
     }
     val counts = trainTerms.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totals = counts.agg(sum(col("cnt")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
     scoreTerms.join(counts, Seq("tok"), "left")
