@@ -1230,6 +1230,104 @@ c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c)
 SELECT e.doc_id, round(avg(-ln((CAST(c.cnt AS DOUBLE) + 1.0) / (tot.n + tot.v))), 6) AS nll
 FROM e JOIN c USING (tok), tot GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // Gopher-style REPETITION signal (the quality axis ta_gopher_quality
+    // doesn't cover): per doc, the most frequent bigram and the fraction of
+    // tokens its occurrences cover — boilerplate/spam markers. Per-doc
+    // bigram counts partial-agg on (doc, gram); the top-1 is a doc-keyed
+    // window; deterministic (cnt desc, gram asc) tie-break.
+    ("ta_rep_top_bigram",
+      (s: SparkSession, dir: String) => {
+        val base = toks(s, dir)
+        val counts = base
+          .select(col("doc_id"), expr("ngrams(t, 2, 2)"))
+          .groupBy("doc_id", "ngram").agg(count(lit(1)).as("cnt"))
+        val top = counts
+          .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("cnt").desc, col("ngram").asc)))
+          .filter(col("rn") === 1).drop("rn")
+        base.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ngram"), lit("")).as("top_bigram"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            round(lit(2.0) * coalesce(col("cnt"), lit(0L)).cast("double") /
+              greatest(size(col("t")).cast("double"), lit(1.0)), 6).as("rep_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ngram
+  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r WHERE i + 1 <= len(t)),
+c AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, ngram, cnt,
+  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) AS rn FROM c)
+SELECT t.doc_id, coalesce(top.ngram, '') AS top_bigram,
+  coalesce(top.cnt, 0) AS cnt,
+  round(2.0 * coalesce(top.cnt, 0) / greatest(len(t.t), 1), 6) AS rep_frac
+FROM t LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+ORDER BY t.doc_id""")),
+
+    // The curation FUNNEL — the per-source report every pretraining data run
+    // produces: how many docs survive each stage of lang-filter → Gopher
+    // quality → exact dedup (keep-first within survivors) → stratified
+    // sample (quota 60, integer hash threshold). Stages compose the SAME
+    // semantics as their standalone queries; dedup reps and sample sizes are
+    // per-stage aggregates joined back, corpus stays narrow throughout.
+    ("web_curate_funnel",
+      (s: SparkSession, dir: String) => {
+        val stop = Seq("the", "a", "of", "in", "for", "to", "and", "is", "was", "on")
+        val flags = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            Extract.tokenize(col("text")).as("t"))
+          .withColumn("en_ok", col("lang") === "en")
+          .withColumn("q_ok", col("en_ok") &&
+            size(col("t")).between(20, 100000) &&
+            (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+              .cast("double") / size(col("t")).cast("double")).between(3.0, 10.0) &&
+            (size(filter(col("t"), x => x.rlike("[a-z]"))).cast("double") /
+              size(col("t")).cast("double")) >= 0.8 &&
+            size(filter(array(stop.map(lit): _*),
+              sw => array_contains(col("t"), sw))) >= 2)
+          .withColumn("h", md5(col("text")))
+        val reps = flags.filter(col("q_ok"))
+          .groupBy("h").agg(min(col("doc_id")).as("rep"))
+        val deduped = flags.join(reps, Seq("h"), "left")
+          .withColumn("d_ok", col("q_ok") && col("doc_id") === col("rep"))
+        val n3 = deduped.filter(col("d_ok"))
+          .groupBy("source").agg(count(lit(1)).as("n3"))
+        deduped.join(broadcast(n3), Seq("source"), "left")
+          .withColumn("s_ok", col("d_ok") &&
+            conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") * col("n3") < lit(60L * 65536L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("en_ok").cast("long")).as("en_docs"),
+            sum(col("q_ok").cast("long")).as("quality_docs"),
+            sum(col("d_ok").cast("long")).as("deduped_docs"),
+            sum(col("s_ok").cast("long")).as("sampled_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (SELECT doc_id, source, lang, text,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t,
+    md5(text) AS h FROM documents),
+fl AS (SELECT *, (lang = 'en') AS en_ok,
+  (lang = 'en' AND len(t) BETWEEN 20 AND 100000
+    AND (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t)) BETWEEN 3.0 AND 10.0
+    AND (CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)) >= 0.8
+    AND len(list_filter(['the','a','of','in','for','to','and','is','was','on'], sw -> list_contains(t, sw))) >= 2) AS q_ok
+  FROM f),
+reps AS (SELECT h, min(doc_id) AS rep FROM fl WHERE q_ok GROUP BY h),
+dd AS (SELECT fl.*, (fl.q_ok AND fl.doc_id = reps.rep) AS d_ok
+  FROM fl LEFT JOIN reps USING (h)),
+n3 AS (SELECT source, count(*) AS n3 FROM dd WHERE d_ok GROUP BY source),
+sm AS (SELECT dd.*, (dd.d_ok AND
+    CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * n3.n3 < 60 * 65536) AS s_ok
+  FROM dd LEFT JOIN n3 USING (source))
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+  CAST(sum(CASE WHEN en_ok THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs,
+  CAST(sum(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT) AS deduped_docs,
+  CAST(sum(CASE WHEN s_ok THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+FROM sm GROUP BY source ORDER BY source""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
