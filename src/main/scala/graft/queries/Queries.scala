@@ -1328,6 +1328,31 @@ SELECT source, CAST(count(*) AS BIGINT) AS docs,
   CAST(sum(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT) AS deduped_docs,
   CAST(sum(CASE WHEN s_ok THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
 FROM sm GROUP BY source ORDER BY source""")),
+
+    // As-of join (ops.AsofJoin): each purchase attributed to the user's latest
+    // click at-or-before it — merge formulation (union + one key-partitioned
+    // window), ONE exchange, |L|+|R| shuffle rows, no range-join blowup on
+    // hot users. DuckDB's native ASOF JOIN is the oracle; the events fixture
+    // is (user_id, ts)-tie-free so the engines' unspecified-tie freedom
+    // cannot diverge.
+    ("q10_asof_attribution",
+      (s: SparkSession, dir: String) => {
+        val ev = table(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("ts").as("click_ts"))
+        graft.ops.AsofJoin.asof(purchases, clicks, Seq("user_id"), "ts",
+            Seq("click_id", "click_ts"))
+          .select(col("event_id"), col("user_id"), col("click_id"), col("click_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
