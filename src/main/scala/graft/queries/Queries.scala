@@ -1353,6 +1353,30 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY p.event_id""")),
+
+    // Range join (ops.RangeJoin): shipments landing inside each urgent
+    // order's 7-day promo window — interval bucketing (daily buckets, each
+    // window explodes into ≤8 rows) turns the θ-join Spark would plan as a
+    // nested loop into ONE hash equi-join on the bucket id + the exact
+    // containment filter. Inner semantics: windows with zero shipments drop.
+    ("q11_range_join_promo",
+      (s: SparkSession, dir: String) => {
+        val windows = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate").as("lo"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("hi"))
+        val points = table(s, dir, "lineitem").select(col("l_shipdate"))
+        graft.ops.RangeJoin.pointInInterval(points, "l_shipdate",
+            windows, "lo", "hi", bucketWidth = 86400.0)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_shipped"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+FROM (SELECT o_orderkey, o_orderdate AS lo, o_orderdate + INTERVAL 7 DAY AS hi
+      FROM orders WHERE o_orderpriority = '1-URGENT') o
+JOIN lineitem l ON l.l_shipdate >= o.lo AND l.l_shipdate < o.hi
+GROUP BY 1 ORDER BY 1""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
