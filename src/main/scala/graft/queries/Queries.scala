@@ -1377,6 +1377,22 @@ FROM (SELECT o_orderkey, o_orderdate AS lo, o_orderdate + INTERVAL 7 DAY AS hi
       FROM orders WHERE o_orderpriority = '1-URGENT') o
 JOIN lineitem l ON l.l_shipdate >= o.lo AND l.l_shipdate < o.hi
 GROUP BY 1 ORDER BY 1""")),
+
+    // Exact grouped quantiles (percentile_cont interpolation — both engines
+    // compute the same deterministic linear interpolation, so this oracles
+    // exactly). Exact percentile sorts each group's values; the 100-TB path
+    // is approx_percentile (t-digest, partial-agg mergeable) — kept out of
+    // the oracle because sketch internals differ across engines.
+    ("q12_group_quantiles",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY 1 ORDER BY 1""")),
   )
 
   /** Cached weighted entity co-occurrence edge list (src, dst, w), src < dst:
