@@ -110,10 +110,18 @@ object KgApp {
       if (lake.committedPartitions(stage).nonEmpty) lake.read(stage).count() else 0L
     val nTriples = triples.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    // minimal JSON string escape: a lake path (or policy) containing a quote
+    // or backslash must not yield an unparseable metrics line (round-4 advice)
+    def esc(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
     val json =
-      s"""{"app":"graft-kg","lake":"${a.lake}","docs":${layerRows("cleaned")},""" +
+      s"""{"app":"graft-kg","lake":"${esc(a.lake)}","docs":${layerRows("cleaned")},""" +
         s""""mentions":${layerRows("mentions")},"entities":${layerRows("entities")},""" +
-        s""""triples":$nTriples,"policy":"${a.policy}","wall_sec":${f"$sec%.1f"}}"""
+        s""""triples":$nTriples,"policy":"${esc(a.policy)}","wall_sec":${f"$sec%.1f"}}"""
     (triples, json)
   }
 

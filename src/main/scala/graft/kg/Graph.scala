@@ -107,6 +107,12 @@ object Graph {
     val withDeg = edges.select("src", "dst")
       .join(d.select(col("a").as("src"), col("dg").as("dsrc")), "src")
       .join(d.select(col("a").as("dst"), col("dg").as("ddst")), "dst")
+    // The oriented projection feeds all three legs of the wedge join;
+    // localCheckpoint materializes it ONCE (edge-list scale) instead of
+    // planning the two degree joins three times — without it the degree-join
+    // subtree is a third of kg_triangles' wall. Executor-memory blocks: a
+    // lost executor mid-job fails the query (rerun recomputes) — acceptable
+    // for a derived projection, same trade as Curation.lmScore.
     val oriented = withDeg.select(
       when(col("dsrc") < col("ddst") ||
           (col("dsrc") === col("ddst") && col("src") < col("dst")),
@@ -114,6 +120,7 @@ object Graph {
         .otherwise(struct(col("dst").as("u"), col("src").as("v"), col("dsrc").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint()
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
@@ -142,22 +149,31 @@ object Graph {
    * needs full neighborhoods), so the web-scale hub defense is
    * `maxPivotDegree`: keep only each pivot's strongest `maxPivotDegree`
    * edges (by weight desc, then neighbor id — deterministic) before the
-   * wedge join. 0 (the default, and what the exact oracle checks) means
-   * unbounded; a capped run under-counts `common` for pairs mediated only by
-   * super-hubs, which is usually the WANTED behavior — a pivot co-occurring
-   * with everything carries no link signal, the same reasoning TF-IDF
-   * applies to stopwords.
+   * wedge join, bounding the fan-out at |V|·cap². The cap is ON BY DEFAULT
+   * (64 — the same per-doc entity bound Triples.cooccurEdges applies), the
+   * engine's guards-default-on convention: on a co-occurrence graph one
+   * stopword-like hub (degree 10⁶) alone would otherwise generate ~5·10¹¹
+   * wedge rows. A capped run under-counts `common` for pairs mediated only
+   * by super-hubs, which is usually the WANTED behavior — a pivot
+   * co-occurring with everything carries no link signal, the same reasoning
+   * TF-IDF applies to stopwords. Pass 0 for the exact unbounded mode (what
+   * the exact `kg_linkpred` oracle checks); the capped path is oracled
+   * separately (`kg_linkpred_capped` — the cap is a plain per-pivot
+   * row_number window, expressible in SQL verbatim).
    * @param edges DataFrame(src, dst, w), src < dst, each pair once
    * @return DataFrame(src, dst, common), non-adjacent pairs only */
   def linkPredict(edges: DataFrame, minCommon: Long = 1L,
-      maxPivotDegree: Int = 0): DataFrame = {
+      maxPivotDegree: Int = 64): DataFrame = {
     val sym0 = symmetrize(edges)
-    val sym = if (maxPivotDegree <= 0) sym0 else {
+    val capped = if (maxPivotDegree <= 0) sym0 else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a")).orderBy(col("w").desc, col("b"))
       sym0.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= maxPivotDegree).drop("__rn")
     }
+    // both wedge legs read the (capped) symmetric projection; materialize it
+    // once — same executor-block trade as triangles' oriented list
+    val sym = capped.localCheckpoint()
     val n1 = sym.select(col("a").as("p"), col("b").as("x"))
     val n2 = sym.select(col("a").as("p"), col("b").as("y"))
     n1.join(n2, "p").filter(col("x") < col("y"))

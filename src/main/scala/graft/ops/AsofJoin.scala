@@ -49,6 +49,7 @@ object AsofJoin {
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right columns collide with left's: ${collisions.mkString(", ")} — rename before joining")
+    Reserved.check("asof", left.columns ++ right.columns)
 
     val payloadType = StructType(right.select(rightCols.map(col): _*).schema.fields)
     val tieType = StructType(right.select(tieCols.map(col): _*).schema.fields)

@@ -40,6 +40,7 @@ object Curation {
   def stratifiedSample(df: DataFrame, keyCol: String, idCol: String,
       quota: Long): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
+    Reserved.check("stratifiedSample", df.columns)
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
     df.join(broadcast(counts), keyCol)
       .filter(
@@ -66,12 +67,22 @@ object Curation {
    * in-memory greedy scan — the same "one shard fits one task" contract as
    * blockedCosinePairs; shards are source × day partitions in production,
    * bounded by construction. The greedy scan is O(shard), not O(shard²).
+   *
+   * Output columns keep the INPUT schema's types: the greedy scan runs over
+   * string/long casts (the typed-Dataset encoding), and the result re-casts
+   * back, which round-trips losslessly for string / integral / floating /
+   * date group keys and integral id/len columns (round-4 advice — the casts
+   * used for groupByKey must not leak into the output schema). Exotic key
+   * types (binary, struct) should be pre-mapped to a string key upstream.
    */
   def packSequences(df: DataFrame, groupCol: String, idCol: String,
       lenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    Reserved.check("packSequences", df.columns)
     val spark = df.sparkSession
     import spark.implicits._
+    val (gType, idType, lenType) =
+      (df.schema(groupCol).dataType, df.schema(idCol).dataType, df.schema(lenCol).dataType)
     val rows = df.select(col(groupCol).cast("string"),
         col(idCol).cast("long"), col(lenCol).cast("long"))
       .as[(String, Long, Long)]
@@ -85,6 +96,8 @@ object Curation {
         (g, id, len, bin)
       }
     }.toDF(groupCol, idCol, lenCol, "bin")
+      .select(col(groupCol).cast(gType), col(idCol).cast(idType),
+        col(lenCol).cast(lenType), col("bin"))
   }
 
   /**
@@ -106,7 +119,14 @@ object Curation {
    * rows, blocks freed by the ContextCleaner): without it, BOTH the totals
    * aggregate and the score join would re-derive the counts subtree and the
    * training corpus would be scanned+tokenized three times instead of once
-   * (pinned in CurationPlansSpec).
+   * (pinned in CurationPlansSpec). Fault-tolerance trade: localCheckpoint
+   * truncates lineage and keeps blocks on EXECUTORS only, so losing an
+   * executor mid-job fails the run (rerun recomputes from scratch) — for a
+   * production vocabulary you want durable across executor loss, persist
+   * the counts to storage (`counts.write.parquet(...)` + re-read) or set a
+   * reliable `sparkContext.setCheckpointDir` and use `checkpoint()` instead;
+   * the executor-block variant is the right default for the vocab-scale
+   * table this computes (round-4 advice).
    */
   def lmScore(toks: DataFrame, idCol: String, tokCol: String,
       lmToks: Option[DataFrame] = None): DataFrame = {

@@ -44,6 +44,7 @@ object RangeJoin {
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty,
       s"point/interval column collision: ${collisions.mkString(", ")} — rename before joining")
+    Reserved.check("rangeJoin", points.columns ++ intervals.columns)
 
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     // temporal columns bucket on their epoch-second value with the µs
@@ -60,9 +61,13 @@ object RangeJoin {
     val loB = bucketOf(asNum(intervals, loCol))
     val hiB = bucketOf(asNum(intervals, hiCol))
     // the guard lives INSIDE the exploded expression — a separate dropped
-    // check column would be pruned out of the plan and never fire
+    // check column would be pruned out of the plan and never fire. A null
+    // bound explodes a null array (row DROPS — the documented inner-join
+    // semantics for degenerate intervals) instead of falling through to the
+    // raise_error arm via three-valued logic (round-4 advice).
     val guarded = intervals.withColumn("__bucket", explode(
-      when(hiB - loB + lit(1L) <= maxBucketsPerInterval, sequence(loB, hiB))
+      when(loB.isNull || hiB.isNull, lit(null).cast("array<bigint>"))
+        .when(hiB - loB + lit(1L) <= maxBucketsPerInterval, sequence(loB, hiB))
         .otherwise(raise_error(concat(
           lit("rangeJoin: interval explodes into "),
           (hiB - loB + lit(1L)).cast("string"),

@@ -1077,11 +1077,34 @@ GROUP BY 1 ORDER BY 1""")),
     // candidates)
     ("kg_linkpred",
       (s: SparkSession, dir: String) =>
-        Graph.linkPredict(graphEdges(s, dir)).orderBy("src", "dst"),
+        Graph.linkPredict(graphEdges(s, dir), maxPivotDegree = 0)
+          .orderBy("src", "dst"),
       Some(s"""WITH RECURSIVE $graphEdgesSql,
 sym AS (SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst, src FROM ed),
 cand AS (SELECT n1.b AS x, n2.b AS y, CAST(count(*) AS BIGINT) AS common
   FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b GROUP BY 1, 2)
+SELECT c.x AS src, c.y AS dst, c.common FROM cand c
+LEFT JOIN ed e ON e.src = c.x AND e.dst = c.y
+WHERE e.src IS NULL ORDER BY src, dst""")),
+
+    // Link prediction, PRODUCTION configuration: per-pivot degree cap — the
+    // default-on hub defense that bounds the wedge fan-out at |V|·cap² on any
+    // degree distribution. Cap 8 here so it genuinely BINDS at sf0.01 (the
+    // co-occurrence graph has pivots above degree 8); the cap is the
+    // deterministic (w desc, neighbor id) row_number window, applied verbatim
+    // in the oracle — this row proves the capped semantics, kg_linkpred above
+    // proves the exact mode.
+    ("kg_linkpred_capped",
+      (s: SparkSession, dir: String) =>
+        Graph.linkPredict(graphEdges(s, dir), maxPivotDegree = 8)
+          .orderBy("src", "dst"),
+      Some(s"""WITH RECURSIVE $graphEdgesSql,
+sym AS (SELECT src AS a, dst AS b, w FROM ed UNION ALL SELECT dst, src, w FROM ed),
+csym AS (SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM sym
+  ) WHERE rn <= 8),
+cand AS (SELECT n1.b AS x, n2.b AS y, CAST(count(*) AS BIGINT) AS common
+  FROM csym n1 JOIN csym n2 ON n1.a = n2.a AND n1.b < n2.b GROUP BY 1, 2)
 SELECT c.x AS src, c.y AS dst, c.common FROM cand c
 LEFT JOIN ed e ON e.src = c.x AND e.dst = c.y
 WHERE e.src IS NULL ORDER BY src, dst""")),
@@ -1200,7 +1223,10 @@ WHERE b * n < 120 * 65536 ORDER BY doc_id""")),
       (s: SparkSession, dir: String) =>
         graft.ops.Curation.packSequences(
             toks(s, dir).join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
-              .select(col("source"), col("doc_id"), size(col("t")).as("len")),
+              // len typed BIGINT up front: packSequences now PRESERVES input
+              // types (round-4 advice), so the oracle's BIGINT len must be
+              // the input type, not a cast the operator injects
+              .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("len")),
             "source", "doc_id", "len", budget = 512L)
           .select(col("source"), col("doc_id"), col("len"), col("bin"))
           .orderBy("source", "doc_id"),

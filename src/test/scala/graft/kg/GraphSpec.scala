@@ -100,6 +100,36 @@ class GraphSpec extends SparkSuite {
     assert(capped == Set((1L, 2L, 1L)))
   }
 
+  test("linkPredict: the hub cap is ON by default (pivot beyond 64 edges prunes)") {
+    // star center 0 with 70 leaves (distinct weights): exact mode predicts
+    // every leaf pair C(70,2); the DEFAULT keeps the center's 64 strongest
+    // edges → C(64,2) — the guard must not be opt-in (round-4 verdict #2)
+    val star = (1L to 70L).map(l => (0L, l, l)).toDF("src", "dst", "w")
+    assert(Graph.linkPredict(star, maxPivotDegree = 0).count() == 70L * 69L / 2L)
+    val capped = Graph.linkPredict(star)
+    assert(capped.count() == 64L * 63L / 2L)
+    // kept edges are the strongest by weight: leaves 7..70 survive
+    assert(capped.agg(min(col("src"))).head.getLong(0) == 7L)
+  }
+
+  test("triangles/linkPredict: edge projection materialized once (no repeated degree subtree)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    // the oriented/symmetric projections are localCheckpointed inside the
+    // operators, so the degree-join subtree runs ONCE in the checkpoint job
+    // and the wedge join's logical plan carries only the FINAL aggregate —
+    // without the checkpoint the degree groupBy appeared once per leg
+    val triAggs = Graph.triangles(k4).queryExecution.optimizedPlan
+      .collect { case a: Aggregate => a }
+    assert(triAggs.size == 1,
+      "triangles must plan exactly the final n_tri aggregate (oriented list pre-materialized)")
+    val lpAggs = Graph.linkPredict(k4).queryExecution.optimizedPlan
+      .collect { case a: Aggregate => a }
+    assert(lpAggs.size == 1,
+      "linkPredict must plan exactly the pair-count aggregate (sym list pre-materialized)")
+  }
+
   test("linkPredict: common neighbors of non-adjacent pairs; complete graph predicts nothing") {
     // path 1-2-3: (1,3) share pivot 2 and are non-adjacent → predicted, cn=1;
     // 10-11 isolated edge → nothing; K4 → every pair adjacent → nothing

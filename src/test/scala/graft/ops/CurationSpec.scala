@@ -44,6 +44,37 @@ class CurationSpec extends SparkSuite {
     assert(packed.sortBy(t => (t._1, t._2)).toSeq == packed2.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("packSequences: output preserves the input column types (casts don't leak)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // int id + int len + string group: round-4 advice — the string/long casts
+    // used for groupByKey must not surface in the output schema
+    val docs = Seq(("a", 1, 300), ("a", 2, 300)).toDF("g", "id", "len")
+    val out = Curation.packSequences(docs, "g", "id", "len", 512L)
+    assert(out.schema("g").dataType == StringType)
+    assert(out.schema("id").dataType == IntegerType)
+    assert(out.schema("len").dataType == IntegerType)
+    assert(out.schema("bin").dataType == LongType)
+    // and a LONG group key round-trips through the internal string cast
+    val byLong = Curation.packSequences(
+      Seq((7L, 1, 300), (7L, 2, 300)).toDF("g", "id", "len"), "g", "id", "len", 512L)
+    assert(byLong.schema("g").dataType == LongType)
+    assert(byLong.select("g").distinct().as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("curation ops reject reserved __ columns loudly") {
+    val docs = Seq(("a", 1L, 300L)).toDF("g", "id", "__n")
+    assert(intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(docs, "g", "id", 10L)
+    }.getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "g", "id", "__n", 512L)
+    }.getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException] {
+      AsofJoin.asof(Seq((1L, 1L, 1L)).toDF("k", "ts", "__tie"),
+        Seq((1L, 1L, 1L)).toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+    }.getMessage.contains("reserved"))
+  }
+
   test("stratifiedSample: under-quota keys survive whole, oversampled keys thin to ≈quota, deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val quota = 10L

@@ -24,6 +24,32 @@ class RangeJoinSpec extends SparkSuite {
     assert(!out.exists(_._1 == 0.5) && !out.exists(_._1 == 25.0))
   }
 
+  test("null interval bounds DROP per inner semantics instead of tripping the guard") {
+    val points = Seq(Tuple1(5.0)).toDF("pt")
+    val intervals = Seq((1L, Some(1.0), Some(10.0)), (2L, None, Some(10.0)),
+        (3L, Some(1.0), None), (4L, None, None))
+      .toDF("iid", "lo", "hi")
+    // three-valued logic would route null bounds into the raise_error arm
+    // (round-4 advice); the explicit null arm explodes a null array → drop
+    val out = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", 3.0)
+      .select("iid").as[Long].collect().toSeq
+    assert(out == Seq(1L), s"only the well-formed interval may match: $out")
+    // null points drop too: the bucket equi-join never matches on null
+    val nullPt = Seq(Some(5.0), None).map(Tuple1(_)).toDF("pt")
+    val out2 = RangeJoin.pointInInterval(nullPt, "pt",
+        Seq((1L, 1.0, 10.0)).toDF("iid", "lo", "hi"), "lo", "hi", 3.0)
+    assert(out2.count() == 1L)
+  }
+
+  test("reserved __ prefix on inputs is rejected loudly") {
+    val points = Seq(Tuple1(5.0)).toDF("__pt")
+    val intervals = Seq((1L, 1.0, 10.0)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "__pt", intervals, "lo", "hi", 3.0)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("explode-factor guard fails loudly on a degenerate interval") {
     val points = Seq(Tuple1(5.0)).toDF("pt")
     val wide = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
