@@ -63,10 +63,19 @@ import graft.tag.Tagger
  * committed epoch fails loudly, and `currentEpoch` is derived from the ledger.
  *
  * == What stays corpus-scale ==
- * Per epoch: one mini-trie scan of the old cleaned layer (detection) and the
- * carried-mention rewrite (mention-scale, ~100× smaller than the corpus).
- * Everything else is delta- or phrase-scale. An inverted token→bucket index
- * could prune the detection scan to candidate buckets; out of scope here.
+ * Per epoch: the carried-mention rewrite (mention-scale, ~100× smaller than
+ * the corpus). The added-phrase DETECTION scan is pruned by an inverted
+ * token→partition index (`token_index` layer, built per epoch alongside
+ * `cleaned`): a doc can match an added phrase only if it contains EVERY
+ * distinct token of that phrase, so only cleaned partitions whose token set
+ * covers some added phrase are read — file-level pruning through the
+ * partition log ([[graft.lake.LakeTable.readPartitions]]), the miss case
+ * (no partition covers any added phrase) skipping the scan entirely. Index
+ * size is vocabulary × partitions (distinct pairs), mined with one
+ * explode+distinct pass per epoch's delta. Lakes bootstrapped before the
+ * index existed fall back to the full scan — correctness never depends on
+ * the index, only the read volume does (pinned in IncrementalSpec).
+ * Everything else is delta- or phrase-scale.
  */
 object Incremental {
 
@@ -79,9 +88,65 @@ object Incremental {
       retaggedMentions: Long,
       phrasesAdded: Long,
       phrasesRemoved: Long,
-      triples: Long)
+      triples: Long,
+      /** cleaned partitions the detection scan actually read (-1: no scan —
+       * nothing added, or no partition covers any added phrase). */
+      detectionPartsScanned: Long = -1,
+      /** old cleaned partitions the UNPRUNED scan would have read. */
+      detectionPartsTotal: Long = -1)
 
   private val ledgerStage = "__epochs__"
+  private val tokenIndexStage = "token_index"
+
+  /** Inverted token→cleaned-partition index rows for one epoch: DISTINCT
+   * (tok, part) over the epoch's cleaned docs. One explode + partial-agg
+   * distinct, delta-scale. */
+  private def tokenIndexRows(cleanedEpoch: DataFrame): DataFrame =
+    cleanedEpoch.select(col("bucket").as("part"), explode(col("tokens")).as("tok"))
+      .distinct()
+
+  private def writeTokenIndex(lake: LakeTable, epoch: Int, buckets: Int): Unit =
+    if (!lake.isComplete(s"$tokenIndexStage@e$epoch")) {
+      // index only this epoch's cleaned partitions (value-prefix pruned read)
+      val vals = lake.committedPartitions("cleaned").keySet
+        .filter(_.startsWith(s"e$epoch-"))
+      lake.readPartitions("cleaned", vals).foreach { df =>
+        val ix = tokenIndexRows(df.select("bucket", "tokens"))
+        lake.resumableWrite(epochBucketed(ix, "tok", epoch, buckets)
+          .select("part", "tok", "epoch", "bucket"), "bucket", tokenIndexStage)
+      }
+      lake.markComplete(s"$tokenIndexStage@e$epoch")
+    }
+
+  /** Cleaned-partition values (epochs < `epoch`) that can possibly hold a doc
+   * matching some ADDED phrase: a match requires the doc to contain EVERY
+   * distinct token of the phrase, so a partition qualifies iff its token set
+   * covers at least one added phrase. Returns None when the index does not
+   * cover every old epoch (pre-index lake → caller falls back to the full
+   * scan); Some(set) otherwise — possibly empty, meaning NO old doc can
+   * match and the scan is skipped outright. The collect is bounded by the
+   * partition-log cardinality (epochs × buckets), the same driver-side scale
+   * as the log itself. */
+  private def detectionCandidateParts(spark: SparkSession, lake: LakeTable,
+      added: DataFrame, epoch: Int): Option[Set[String]] = {
+    val indexed = (0 until epoch).forall(e => lake.isComplete(s"$tokenIndexStage@e$e"))
+    if (!indexed) return None
+    // complete-but-empty index (all-empty old epochs): no old doc exists
+    if (lake.committedPartitions(tokenIndexStage).isEmpty) return Some(Set.empty)
+    val ix = lake.read(tokenIndexStage).filter(col("epoch") < epoch)
+      .select("tok", "part")
+    val ptoks = added.select(col("phrase_id"),
+        explode(array_distinct(col("tokens"))).as("tok"))
+    val need = added.select(col("phrase_id"),
+      size(array_distinct(col("tokens"))).as("need"))
+    val parts = ptoks.join(ix, "tok")
+      .groupBy("phrase_id", "part").agg(countDistinct(col("tok")).as("hit"))
+      .join(broadcast(need), "phrase_id")
+      .filter(col("hit") === col("need"))
+      .select("part").distinct()
+      .collect().map(_.getString(0)).toSet
+    Some(parts)
+  }
   private def scoredStage(e: Int) = s"scored@e$e"
   private def mentionsStage(e: Int) = s"mentions@e$e"
   private def entitiesStage(e: Int) = s"entities@e$e"
@@ -165,6 +230,7 @@ object Incremental {
     writeAndMark(lake,
       epochBucketed(KgPipeline.cleanedDocs(pages, cfg), "docId", 0, buckets),
       "bucket", "cleaned", force = false)
+    writeTokenIndex(lake, 0, buckets)
     val cleaned = lake.read("cleaned").select("docId", "warc_ts", "tokens")
     writeAndMark(lake, epochBucketed(rawMine(cleaned, "tokens", cfg), "ngram", 0, buckets),
       "bucket", "domain_counts", force = false)
@@ -256,6 +322,7 @@ object Incremental {
         "bucket", "cleaned")
       lake.markComplete(s"cleaned@e$epoch")
     }
+    writeTokenIndex(lake, epoch, buckets)
     val deltaCleaned = lake.read("cleaned").filter(col("epoch") === epoch)
       .select("docId", "warc_ts", "tokens")
     if (!lake.isComplete(s"domain_counts@e$epoch")) {
@@ -301,13 +368,35 @@ object Incremental {
     val removedUrls = oldMentions
       .join(broadcast(removed.select("phrase_id")), Seq("phrase_id"))
       .select("url")
+    val totalOldParts = lake.committedPartitions("cleaned").keySet
+      .count(v => v.split("-", 2).headOption.exists(e =>
+        scala.util.Try(e.drop(1).toInt).toOption.exists(_ < epoch)))
+    var scannedParts = -1L
+    val emptyUrls = spark.emptyDataFrame.select(lit("").as("url")).limit(0)
     val addedUrls =
-      if (nAdded == 0) spark.emptyDataFrame.select(lit("").as("url")).limit(0)
+      if (nAdded == 0) emptyUrls
       else {
-        val (miniModel, _) = Builder.build(added.withColumnRenamed("domain_count", "count"))
-        val miniCfg = cfg.copy(tag = cfg.tag.copy(policy = "all", strictPolicy = false))
-        mentionRows(spark, oldCleaned.select("docId", "warc_ts", "tokens"), miniModel, miniCfg)
-          .select("url")
+        // index-pruned detection: only cleaned partitions whose token set
+        // covers some added phrase can hold a match (None = pre-index lake
+        // → full scan; empty = provably no old doc matches → no scan)
+        val scanDocs = detectionCandidateParts(spark, lake, added, epoch) match {
+          case None =>
+            scannedParts = totalOldParts
+            Some(oldCleaned)
+          case Some(parts) =>
+            scannedParts = parts.size.toLong
+            lake.readPartitions("cleaned", parts)
+              .map(_.filter(col("epoch") < epoch))
+        }
+        scanDocs match {
+          case None => emptyUrls
+          case Some(docs) =>
+            val (miniModel, _) =
+              Builder.build(added.withColumnRenamed("domain_count", "count"))
+            val miniCfg = cfg.copy(tag = cfg.tag.copy(policy = "all", strictPolicy = false))
+            mentionRows(spark, docs.select("docId", "warc_ts", "tokens"),
+              miniModel, miniCfg).select("url")
+        }
       }
     val affectedUrls =
       (if (cfg.tag.policy == "salience_max")
@@ -366,7 +455,9 @@ object Incremental {
       retaggedMentions = mentions.count() - carried.count(),
       phrasesAdded = nAdded,
       phrasesRemoved = nRemoved,
-      triples = lake.read(triplesStage(epoch)).count())
+      triples = lake.read(triplesStage(epoch)).count(),
+      detectionPartsScanned = scannedParts,
+      detectionPartsTotal = totalOldParts.toLong)
     Seq(newScored, added, removed, affectedUrls, retagDocs, mentions, ents)
       .foreach(_.unpersist())
     stats

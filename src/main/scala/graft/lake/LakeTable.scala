@@ -169,6 +169,19 @@ final class LakeTable(spark: SparkSession, val root: String,
     spark.read.parquet(parts.map(_.path): _*)
   }
 
+  /** Read only the named partition VALUES of a stage — FILE-level pruning
+   * (the partition log maps value → data path, so non-candidate partitions
+   * are never opened, the same metadata-pruned scan an Iceberg predicate on
+   * a partition column gets). Values absent from the log are ignored: a
+   * candidate set computed from a secondary index may name partitions that
+   * happen to hold no rows. Returns None when NO candidate is committed —
+   * the caller decides whether empty means "nothing to scan" (it does for
+   * index-pruned detection) or an error. */
+  def readPartitions(stage: String, values: Set[String]): Option[DataFrame] = {
+    val parts = committedPartitions(stage).view.filterKeys(values).values.toSeq
+    if (parts.isEmpty) None else Some(spark.read.parquet(parts.map(_.path): _*))
+  }
+
   // ---- writes ----
 
   /** Atomically commit `df` split by `partitionCol`, skipping partitions already

@@ -1380,6 +1380,44 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY p.event_id""")),
 
+    // As-of join, KG-PIPELINE consumer (round-4 verdict #6): resolve each
+    // tagged mention to the latest crawl snapshot at or before the mention's
+    // observation time — the point-in-time page-version lookup a temporal KG
+    // runs when provenance must name WHICH crawl a fact came from. Mention
+    // times and per-doc crawl schedules are deterministic functions of
+    // (doc_id, start) / (doc_id, k), identical in both engines; per-doc
+    // version times are distinct (k-offset), so the asof winner is tie-free
+    // (DuckDB's ASOF leaves equal-ts winners unspecified). Mentions whose
+    // observation time precedes the doc's first crawl keep NULLs — the
+    // left-asof contract.
+    ("kg_asof_versions",
+      (s: SparkSession, dir: String) => {
+        val m = mentions(s, dir, "leftmost_longest")
+          .select(col("doc_id"), col("start"), col("ngram"),
+            expr("timestamp'2025-01-01 00:00:00' + " +
+              "make_dt_interval(CAST((doc_id + start) % 35 AS INT), 0, 0, 0)").as("ts"))
+        val v = table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("crawl_k", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("ts", expr("timestamp'2025-01-01 00:00:00' + " +
+            "make_dt_interval(CAST((doc_id * 7) % 28 + crawl_k AS INT), 0, 0, 0)"))
+          .withColumn("crawl_ts", col("ts"))
+        graft.ops.AsofJoin.asof(m, v, Seq("doc_id"), "ts",
+            Seq("crawl_k", "crawl_ts"))
+          .select("doc_id", "start", "ngram", "crawl_k", "crawl_ts")
+          .orderBy("doc_id", "start", "ngram")
+      },
+      Some(s"""WITH RECURSIVE ${scoredSql("ratio", "1.5")},
+${w1SelSql},
+rm AS (SELECT sel.doc_id, sel.s, mt.ngram FROM sel JOIN mt ON mt.doc_id = sel.doc_id AND mt.s = sel.s AND mt.e = sel.e),
+m AS (SELECT doc_id, s, ngram,
+    TIMESTAMP '2025-01-01 00:00:00' + ((doc_id + s) % 35) * INTERVAL 1 DAY AS mts FROM rm),
+v AS (SELECT doc_id, k,
+    TIMESTAMP '2025-01-01 00:00:00' + ((doc_id * 7) % 28 + k) * INTERVAL 1 DAY AS vts
+  FROM documents, (VALUES (0),(1),(2)) kk(k))
+SELECT m.doc_id, m.s AS start, m.ngram, v.k AS crawl_k, v.vts AS crawl_ts
+FROM m ASOF LEFT JOIN v ON m.doc_id = v.doc_id AND v.vts <= m.mts
+ORDER BY 1, 2, 3""")),
+
     // Range join (ops.RangeJoin): shipments landing inside each urgent
     // order's 7-day promo window — interval bucketing (daily buckets, each
     // window explodes into ≤8 rows) turns the θ-join Spark would plan as a

@@ -100,6 +100,40 @@ class IncrementalSpec extends SparkSuite {
     full2.entities.unpersist(); full2.docs.unpersist()
   }
 
+  test("detection scan is index-pruned to the buckets covering an added phrase") {
+    val lakeRoot = root()
+    def page(i: Int, text: String) = WebPage(s"http://t/$i",
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+      s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"), text, "en")
+    val cfg = KgPipeline.KgConfig(
+      mine = graft.mine.Miner.MineConfig(2, 3, minCount = 3),
+      score = graft.score.Scorer.ScoreConfig("ratio", 1.0f, 3))
+    // old corpus: 30 filler docs + ONE doc carrying the future phrase's tokens
+    val filler = (0 until 30).map(i => page(i, "alpha beta gamma delta epsilon zeta"))
+    val a = spark.createDataset(filler :+ page(99, "rare1 rare2 alpha beta"))
+    // delta: five 2-token docs push "rare1 rare2" over minCount → newly scored
+    val b = spark.createDataset((100 until 105).map(i => page(i, "rare1 rare2")))
+    Incremental.bootstrap(spark, a, lakeRoot, buckets = 4, cfg = cfg)
+    val stats = Incremental.addEpoch(spark, b, lakeRoot, buckets = 4, cfg = cfg)
+    assert(stats.phrasesAdded > 0, "the delta must add at least one phrase")
+    // the added phrase's tokens live in exactly one old doc → detection reads
+    // a STRICT subset of the old cleaned partitions (round-4 verdict #5)
+    assert(stats.detectionPartsTotal == 4, s"stats: $stats")
+    assert(stats.detectionPartsScanned >= 0 &&
+      stats.detectionPartsScanned < stats.detectionPartsTotal,
+      s"pruned scan must read a strict subset: $stats")
+    assert(stats.affectedOldDocs == 1, s"only the rare-token doc is affected: $stats")
+    // exactness is preserved under pruning: delta epoch == full union rebuild
+    val full = KgPipeline.build(spark, a.union(b), None, cfg)
+    val lake = new graft.lake.LakeTable(spark, lakeRoot)
+    assert(sortedMentions(lake.read("mentions@e1")) sameElements
+      sortedMentions(full.mentions))
+    assert(sortedTriples(lake.read("triples@e1")) sameElements
+      sortedTriples(full.triples))
+    full.phrases.unpersist(); full.mentions.unpersist()
+    full.entities.unpersist(); full.docs.unpersist()
+  }
+
   test("re-crawled url in a delta is rejected loudly") {
     val lakeRoot = root()
     val (a, b) = split(500, 400)
