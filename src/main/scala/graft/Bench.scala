@@ -30,12 +30,13 @@ import graft.kg.KgPipeline
  * The schedule is fixed a priori; nothing conditions on observed ratios.
  *
  * == Default vs full profile ==
- * The DEFAULT (driver) profile is sized to finish in ~35 clean minutes /
- * comfortably under 60 under storm: 2 pairs × best-of-2 sustained samples per
- * level over a 1M-doc pair corpus (sustained walls ≈ 3 min at local[2] —
- * still ≫ the ~26 s fixed driver latency the concurrency amortizes, so the
- * sustained regime holds), single-sample mem-bw/IO controls, best-of-2
- * single-job headline. `SPARK_GRAFT_PROFILE=full` restores the exclusive-run
+ * The DEFAULT (driver) profile is sized to ~40 clean minutes / protected
+ * under storm by the phased emission: 2 pairs × best-of-2 sustained samples
+ * per level on the SAME 2M-doc corpus as the headline (a half-size pair
+ * corpus was tried and rejected — bench_r5a.json read eff 0.705 in certified
+ * clean weather because scaleCfg's mining threshold scales with corpus size,
+ * so the levels would compare non-identical jobs), single-sample mem-bw/IO
+ * controls, best-of-2 single-job headline. `SPARK_GRAFT_PROFILE=full` restores the exclusive-run
  * schedule (3 pairs over the full 2M-doc corpus, best-of-3 single-job,
  * min-of-2 controls). `SPARK_GRAFT_QUERIES_ONLY=1` runs only the weather
  * probe + cold + warm query passes (the clean-window re-baseline protocol —

@@ -1389,7 +1389,11 @@ ORDER BY p.event_id""")),
     // version times are distinct (k-offset), so the asof winner is tie-free
     // (DuckDB's ASOF leaves equal-ts winners unspecified). Mentions whose
     // observation time precedes the doc's first crawl keep NULLs — the
-    // left-asof contract.
+    // left-asof contract. The crawl time is emitted as epoch SECONDS
+    // (BIGINT): a nullable raw-timestamp column compares unreliably across
+    // engines (Spark parquet writes ns, DuckDB returns µs, and NaT fails
+    // equality across resolutions in the comparer) — epoch integers carry
+    // identical values and nulls in both.
     ("kg_asof_versions",
       (s: SparkSession, dir: String) => {
         val m = mentions(s, dir, "leftmost_longest")
@@ -1403,7 +1407,8 @@ ORDER BY p.event_id""")),
           .withColumn("crawl_ts", col("ts"))
         graft.ops.AsofJoin.asof(m, v, Seq("doc_id"), "ts",
             Seq("crawl_k", "crawl_ts"))
-          .select("doc_id", "start", "ngram", "crawl_k", "crawl_ts")
+          .select(col("doc_id"), col("start"), col("ngram"), col("crawl_k"),
+            unix_timestamp(col("crawl_ts")).as("crawl_epoch"))
           .orderBy("doc_id", "start", "ngram")
       },
       Some(s"""WITH RECURSIVE ${scoredSql("ratio", "1.5")},
@@ -1414,7 +1419,8 @@ m AS (SELECT doc_id, s, ngram,
 v AS (SELECT doc_id, k,
     TIMESTAMP '2025-01-01 00:00:00' + ((doc_id * 7) % 28 + k) * INTERVAL 1 DAY AS vts
   FROM documents, (VALUES (0),(1),(2)) kk(k))
-SELECT m.doc_id, m.s AS start, m.ngram, v.k AS crawl_k, v.vts AS crawl_ts
+SELECT m.doc_id, m.s AS start, m.ngram, v.k AS crawl_k,
+  CAST(epoch(v.vts) AS BIGINT) AS crawl_epoch
 FROM m ASOF LEFT JOIN v ON m.doc_id = v.doc_id AND v.vts <= m.mts
 ORDER BY 1, 2, 3""")),
 
