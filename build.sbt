@@ -31,6 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fixed heap: without -Xms the first big job in a fork pays heap growth +
+  // GC-ergonomics adaptation — measurement noise the scaling bench can't
+  // afford (part of the session-scoped first-sample ramp; Bench scaladoc)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // fixed, level-independent GC parallelism: the scaling bench compares
   // local[2] vs local[8] sessions inside ONE JVM — by default the GC uses
   // all 32 host threads, handing the small-N phase free parallelism the

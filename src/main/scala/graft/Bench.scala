@@ -381,7 +381,24 @@ object Bench {
    * hardware control below. Also returns the level's host-weather probe: the
    * wall of one fixed pure-CPU mini-job (one `burn` task per core, ~2 s
    * nominal) timed in the same session right before the measured samples —
-   * pure regime DISCLOSURE; no statistic conditions on it. */
+   * pure regime DISCLOSURE; no statistic conditions on it.
+   *
+   * == Steady-state warm-up (preregistered round-5 amendment) ==
+   * Every recorded pair across rounds 4-5 shows the same SESSION-scoped
+   * first-sample ramp at local[8] — the first sustained sample reads 25-40%
+   * below the second (r4f: 24.8k→41.2k, 29.9k→44.9k, 36.3k→44.6k docs/s;
+   * r4g: 26.4k→34.3k; r5b: 21.3k→33.0k) and a FRESH session re-pays the
+   * transient even late in a warm JVM — while local[2]'s ~330 s samples are
+   * flat (r4f: 10.0k/9.1k, 11.5k/10.8k). That is a fixed per-session
+   * transient (Spark memory-manager/allocator ramp + OS writeback of the
+   * previous phase's shuffle) that a ~120 s thr8 sample cannot amortize but
+   * a ~330 s thr2 sample hides, biasing the thr8 side of the ratio DOWN —
+   * a small-corpus measurement artifact, not an engine property (the
+   * criterion targets steady-state cluster capacity; a production job runs
+   * hours). Each level therefore runs ONE untimed single-job pass over the
+   * full corpus before its probe + measured samples — identical work at
+   * both levels, excluded from measurement at both levels, schedule fixed
+   * a priori. Disclosed here and in BASELINE.md. */
   private def sustainedSamples(cores: Int, path: String, nDocs: Long,
       nSamples: Int = 2, concurrency: Int = 2): (Vector[Double], Double) = {
     val spark = session(cores)
@@ -392,6 +409,12 @@ object Bench {
       import scala.concurrent.duration._
       KgPipeline.build(spark, Synth.corpus(spark, 200, partitions = cores)).triples.count()
       val pages = spark.read.parquet(path).as[graft.model.WebPage]
+      locally { // steady-state warm-up: one untimed full-corpus pass (see scaladoc)
+        val plan = KgPipeline.build(spark, pages, None, scaleCfg(nDocs))
+        plan.triples.count()
+        plan.phrases.unpersist(); plan.mentions.unpersist()
+        plan.entities.unpersist(); plan.docs.unpersist()
+      }
       spark.sparkContext.parallelize(1 to cores, cores).map(_ => burn(1000000L)).sum() // warm
       val pt0 = System.nanoTime()
       spark.sparkContext.parallelize(1 to cores, cores).map(_ => burn(600000000L)).sum()
