@@ -79,40 +79,60 @@ object Miner {
       mix(h ^ s.length.toLong)
     }
     @inline def combine(acc: Long, x: Long): Long = mix(acc ^ (x * 0xff51afd7ed558ccdL))
+    /** Window hash of the length-`n` prefix chain `p` (see gram loops below):
+     * the chain is shared across all n at one start, so each window costs one
+     * extra mix instead of re-combining its tokens from scratch — for
+     * n∈[2,5] that is ~maxN combines + (maxN-minN+1) mixes per start vs
+     * Σn combines (≈1.7× less hot-loop arithmetic; measured on the mine
+     * stage, the pipeline's dominant cost at every parallelism level). */
+    @inline def window(p: Long, n: Int): Long = mix(p ^ (n.toLong * 0x9e3779b97f4a7c15L))
   }
 
   /** Unboxed open-addressing long→count map — the per-partition combiner for
    * pass 1. Emitting one boxed Long per gram instance (160M+ at 2M docs)
    * drowned the 32-thread run in GC; combining in primitive arrays first emits
-   * only the distinct grams of each partition. */
+   * only the distinct grams of each partition.
+   *
+   * Layout: ONE interleaved array of [key, count] pairs, so a probe touches a
+   * single cache line instead of one in a key array plus one in a count array
+   * — at ~780M random-access adds per 2M-doc mine pass the probe's DRAM
+   * traffic IS the cost, and halving lines-per-add is the difference that
+   * shows up hardest at high thread counts where the pipeline is
+   * memory-system-bound (the scaling bench's thr8 side). Slot i lives at
+   * arr(2i)=key, arr(2i+1)=count; count == 0 ⇔ empty. */
   private final class LongCountMap(initialCapacity: Int) {
     private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
     private var mask = cap - 1
-    private var keys = new Array[Long](cap)
-    private var counts = new Array[Long](cap) // count == 0 ⇔ slot empty
+    private var arr = new Array[Long](cap << 1)
     private var n = 0
     def add(k: Long): Unit = {
       var i = (Hash64.mix(k) & mask).toInt
-      while (counts(i) != 0 && keys(i) != k) i = (i + 1) & mask
-      if (counts(i) == 0) { keys(i) = k; n += 1; if (n * 10 > cap * 7) { counts(i) = 1; grow(); return } }
-      counts(i) += 1
+      var o = i << 1
+      while (arr(o + 1) != 0 && arr(o) != k) { i = (i + 1) & mask; o = i << 1 }
+      if (arr(o + 1) == 0) {
+        arr(o) = k; n += 1
+        if (n * 10 > cap * 7) { arr(o + 1) = 1; grow(); return }
+      }
+      arr(o + 1) += 1
     }
     private def grow(): Unit = {
-      val ok = keys; val oc = counts
+      val old = arr
       cap <<= 1; mask = cap - 1; n = 0
-      keys = new Array[Long](cap); counts = new Array[Long](cap)
-      var i = 0
-      while (i < ok.length) {
-        if (oc(i) != 0) {
-          var j = (Hash64.mix(ok(i)) & mask).toInt
-          while (counts(j) != 0) j = (j + 1) & mask
-          keys(j) = ok(i); counts(j) = oc(i); n += 1
+      arr = new Array[Long](cap << 1)
+      var o = 0
+      while (o < old.length) {
+        if (old(o + 1) != 0) {
+          var j = (Hash64.mix(old(o)) & mask).toInt
+          var p = j << 1
+          while (arr(p + 1) != 0) { j = (j + 1) & mask; p = j << 1 }
+          arr(p) = old(o); arr(p + 1) = old(o + 1); n += 1
         }
-        i += 1
+        o += 2
       }
     }
     def iterator: Iterator[(Long, Long)] = (0 until cap).iterator
-      .filter(counts(_) != 0).map(i => (keys(i), counts(i)))
+      .filter(i => arr((i << 1) + 1) != 0)
+      .map(i => (arr(i << 1), arr((i << 1) + 1)))
   }
 
   /** Per-doc gram-window hashes into the combiner: lowercase + hash each token
@@ -123,17 +143,20 @@ object Miner {
     val th = if (th0.length >= L) th0 else new Array[Long](L)
     var i = 0
     toks.foreach { t => th(i) = Hash64.str(t.toLowerCase(java.util.Locale.ROOT)); i += 1 }
-    var n = minN
-    while (n <= maxN) {
-      var s = 0
-      while (s + n <= L) {
-        var h = 0x5851f42d4c957f2dL ^ n.toLong
-        var j = s
-        while (j < s + n) { h = Hash64.combine(h, th(j)); j += 1 }
-        map.add(h)
-        s += 1
+    // per start: ONE prefix combine chain shared by every window length
+    // (Hash64.window seals each length) — same windows, ~1.7× less arithmetic
+    // than re-combining each (s, n) from scratch
+    var s = 0
+    while (s + minN <= L) {
+      var p = 0x5851f42d4c957f2dL
+      val jEnd = math.min(s + maxN, L)
+      var j = s
+      while (j < jEnd) {
+        p = Hash64.combine(p, th(j))
+        j += 1
+        if (j - s >= minN) map.add(Hash64.window(p, j - s))
       }
-      n += 1
+      s += 1
     }
   }
 
@@ -237,21 +260,24 @@ object Miner {
               th(i) = Hash64.str(lower(i))
               i += 1
             }
-            var n = minN
-            while (n <= maxN) {
-              var s = 0
-              while (s + n <= L) {
-                var h = 0x5851f42d4c957f2dL ^ n.toLong
-                var j = s
-                while (j < s + n) { h = Hash64.combine(h, th(j)); j += 1 }
-                val idx = java.util.Arrays.binarySearch(set, h)
-                if (idx >= 0 && !done(idx)) {
-                  done(idx) = true
-                  out += ((h, lower.slice(s, s + n).mkString(" "), cnts(idx)))
+            var s = 0
+            while (s + minN <= L) {
+              var p = 0x5851f42d4c957f2dL
+              val jEnd = math.min(s + maxN, L)
+              var j = s
+              while (j < jEnd) {
+                p = Hash64.combine(p, th(j))
+                j += 1
+                if (j - s >= minN) {
+                  val h = Hash64.window(p, j - s)
+                  val idx = java.util.Arrays.binarySearch(set, h)
+                  if (idx >= 0 && !done(idx)) {
+                    done(idx) = true
+                    out += ((h, lower.slice(s, j).mkString(" "), cnts(idx)))
+                  }
                 }
-                s += 1
               }
-              n += 1
+              s += 1
             }
             out.result()
           }
@@ -275,17 +301,20 @@ object Miner {
               th(i) = Hash64.str(lower(i))
               i += 1
             }
-            var n = minN
-            while (n <= maxN) {
-              var s = 0
-              while (s + n <= L) {
-                var h = 0x5851f42d4c957f2dL ^ n.toLong
-                var j = s
-                while (j < s + n) { h = Hash64.combine(h, th(j)); j += 1 }
-                if (seen.add(h)) out += ((h, lower.slice(s, s + n).mkString(" ")))
-                s += 1
+            var s = 0
+            while (s + minN <= L) {
+              var p = 0x5851f42d4c957f2dL
+              val jEnd = math.min(s + maxN, L)
+              var j = s
+              while (j < jEnd) {
+                p = Hash64.combine(p, th(j))
+                j += 1
+                if (j - s >= minN) {
+                  val h = Hash64.window(p, j - s)
+                  if (seen.add(h)) out += ((h, lower.slice(s, j).mkString(" ")))
+                }
               }
-              n += 1
+              s += 1
             }
             out.result()
           }
