@@ -216,6 +216,8 @@ object Bench {
 
     val path = corpusPath(nDocs)
     val pairPath = if (pairDocs == nDocs) path else corpusPath(pairDocs)
+    // half-size corpus for the sample-shaped warm-ups (built untimed)
+    val warmPath = corpusPath(math.max(pairDocs / 2, 100L))
 
     // ---- incremental full-format emission state ----
     val pipe = scala.collection.mutable.LinkedHashMap[String, String](
@@ -237,8 +239,8 @@ object Bench {
     }
 
     def samplePair(): PairSample = {
-      val (s2, p2) = sustainedSamples(2, pairPath, pairDocs, nSamples = s2N)
-      val (s8, p8) = sustainedSamples(8, pairPath, pairDocs, nSamples = s8N)
+      val (s2, p2) = sustainedSamples(2, pairPath, warmPath, pairDocs, nSamples = s2N)
+      val (s8, p8) = sustainedSamples(8, pairPath, warmPath, pairDocs, nSamples = s8N)
       PairSample(s2, p2, s8, p8)
     }
 
@@ -395,12 +397,16 @@ object Bench {
    * a ~330 s thr2 sample hides, biasing the thr8 side of the ratio DOWN —
    * a small-corpus measurement artifact, not an engine property (the
    * criterion targets steady-state cluster capacity; a production job runs
-   * hours). Each level therefore runs ONE untimed single-job pass over the
-   * full corpus before its probe + measured samples — identical work at
-   * both levels, excluded from measurement at both levels, schedule fixed
-   * a priori. Disclosed here and in BASELINE.md. */
-  private def sustainedSamples(cores: Int, path: String, nDocs: Long,
-      nSamples: Int = 2, concurrency: Int = 2): (Vector[Double], Double) = {
+   * hours). Each level therefore runs ONE untimed warm-up in the EXACT
+   * sample shape — `concurrency` concurrent jobs — over a HALF-size corpus
+   * before its probe + measured samples (r5c's single-job warm-up absorbed
+   * the transient in its pair #1 but r5d's pair #1 re-paid it, 26.8k→46.2k:
+   * the transient follows the CONCURRENT execution shape, so the warm-up
+   * must too; half size keeps its cost equal to the single-job variant).
+   * Identical work at both levels, excluded from measurement at both
+   * levels, schedule fixed a priori. Disclosed here and in BASELINE.md. */
+  private def sustainedSamples(cores: Int, path: String, warmPath: String,
+      nDocs: Long, nSamples: Int = 2, concurrency: Int = 2): (Vector[Double], Double) = {
     val spark = session(cores)
     try {
       import spark.implicits._
@@ -409,11 +415,17 @@ object Bench {
       import scala.concurrent.duration._
       KgPipeline.build(spark, Synth.corpus(spark, 200, partitions = cores)).triples.count()
       val pages = spark.read.parquet(path).as[graft.model.WebPage]
-      locally { // steady-state warm-up: one untimed full-corpus pass (see scaladoc)
-        val plan = KgPipeline.build(spark, pages, None, scaleCfg(nDocs))
-        plan.triples.count()
-        plan.phrases.unpersist(); plan.mentions.unpersist()
-        plan.entities.unpersist(); plan.docs.unpersist()
+      locally { // steady-state warm-up, sample-shaped (see scaladoc)
+        val warmPages = spark.read.parquet(warmPath).as[graft.model.WebPage]
+        val warmJobs = (1 to concurrency).map { _ =>
+          Future {
+            val plan = KgPipeline.build(spark, warmPages, None, scaleCfg(nDocs / 2))
+            plan.triples.count()
+            plan.phrases.unpersist(); plan.mentions.unpersist()
+            plan.entities.unpersist(); plan.docs.unpersist()
+          }
+        }
+        warmJobs.foreach(Await.result(_, 4.hours))
       }
       spark.sparkContext.parallelize(1 to cores, cores).map(_ => burn(1000000L)).sum() // warm
       val pt0 = System.nanoTime()
