@@ -79,6 +79,12 @@ object Graph {
         // the join-back formulation costs two more exchanges per iteration
         // (node projection + deg recompute), which at small scale dominates
         // as scheduling fixed cost and at cluster scale doubles the rounds.
+        // (Round-6 note: an explicit size-gated broadcast(ranks) per
+        // iteration was tried and MEASURED SLOWER on the warm bench twice
+        // (+0.15 s / +0.26 s on kg_pagerank) — AQE already converts these
+        // tiny-rank joins to broadcast at runtime from exact shuffle
+        // statistics, and forcing the hint only serialized the per-iteration
+        // broadcast builds; reverted, see OPTIMIZATION_r06.md.)
         ranks = adj.join(ranks, adj("a") === ranks("id"))
           .select(col("b"), expr("(85 * r) div (100 * d)").as("c"))
           .groupBy(col("b").as("id"))

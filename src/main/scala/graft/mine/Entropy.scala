@@ -52,6 +52,65 @@ object Entropy {
     (log(s) - sum(count.cast("double") * log(count.cast("double"))) / s)
   }
 
+  /** 64-bit hash of a space-joined gram string, identical to the window
+   * hashes the corpus walk computes over its (lowercased) tokens — candidate
+   * strings are hashed VERBATIM (no lowercasing), preserving the former
+   * string-equality join semantics where a non-lowercase candidate never
+   * matches the lowercased gram stream. */
+  private def gramHash(g: String): Long = {
+    import Miner.Hash64
+    val toks = g.split(' ')
+    var p = 0x5851f42d4c957f2dL
+    var i = 0
+    while (i < toks.length) { p = Hash64.combine(p, Hash64.str(toks(i))); i += 1 }
+    Hash64.window(p, toks.length)
+  }
+
+  /** Per-partition combiner for the candidate-adjacent extension mine: open
+   * addressing keyed on the gram's 64-bit window hash, with the count, the
+   * p/s adjacency flags and the gram STRING materialized once per partition
+   * per distinct gram (the Miner pass-2 pattern: every later instance costs
+   * long arithmetic + one probe, no string building). count == 0 ⇔ empty. */
+  private final class ExtCombiner(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var counts = new Array[Long](cap)
+    private var flags = new Array[Byte](cap)
+    private var strs = new Array[String](cap)
+    private var n = 0
+    def add(k: Long, p: Boolean, s: Boolean)(mk: => String): Unit = {
+      var i = (Miner.Hash64.mix(k) & mask).toInt
+      while (counts(i) != 0 && keys(i) != k) i = (i + 1) & mask
+      if (counts(i) == 0) {
+        keys(i) = k
+        strs(i) = mk
+        flags(i) = ((if (p) 1 else 0) | (if (s) 2 else 0)).toByte
+        n += 1
+        if (n * 10 > cap * 7) { counts(i) = 1; grow(); return }
+      }
+      counts(i) += 1
+    }
+    private def grow(): Unit = {
+      val (ok, oc, of, os) = (keys, counts, flags, strs)
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); counts = new Array[Long](cap)
+      flags = new Array[Byte](cap); strs = new Array[String](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (oc(i) != 0) {
+          var j = (Miner.Hash64.mix(ok(i)) & mask).toInt
+          while (counts(j) != 0) j = (j + 1) & mask
+          keys(j) = ok(i); counts(j) = oc(i); flags(j) = of(i); strs(j) = os(i)
+        }
+        i += 1
+      }
+    }
+    def iterator: Iterator[(String, Long, Int, Int)] = (0 until cap).iterator
+      .filter(i => counts(i) != 0)
+      .map(i => (strs(i), counts(i), flags(i) & 1, (flags(i) >> 1) & 1))
+  }
+
   /**
    * Candidate-bounded extension counts: (ngram = the full (n+1)-gram,
    * count, p, s) where p=1 iff the gram's length-n PREFIX is a candidate
@@ -59,15 +118,26 @@ object Entropy {
    * Grams adjacent to no candidate are dropped BEFORE the global aggregate,
    * so the aggregate keyspace is candidate-bounded, not corpus-bounded.
    *
-   * Broadcast path (candidates ≤ cfg.broadcastCandidateLimit): two broadcast
-   * left-outer joins mark the gram stream in one corpus scan — no shuffle of
-   * gram instances; the only shuffle is the (bounded) final aggregate. The
-   * result should be materialized ONCE by consumers reading both sides
-   * (filterCandidates localCheckpoints it — checkpoint blocks are freed by
-   * the ContextCleaner when the DataFrame is garbage-collected, whereas
-   * CacheManager pins persist() entries for the session lifetime, a leak
-   * across repeated calls); the function itself returns the raw lazy plan so
-   * its shape stays assertable (EntropySpec).
+   * Broadcast path (candidates ≤ cfg.broadcastCandidateLimit): HASH-FIRST
+   * (round-6, mirroring the Miner's two-pass kernel — the round-5 verdict
+   * measured the interpreted higher-order-function gram walk 3-5× slower
+   * than the hashed mapPartitions mine, and this pass was the engine's last
+   * HOF gram walk): candidate strings are hashed executor-side into a sorted
+   * long array (one collect, which doubles as the size gate) and ONE
+   * mapPartitions corpus scan hashes every token once, derives all
+   * (minN+1..maxN+1)-gram window hashes from shared per-start prefix chains,
+   * checks prefix/suffix candidacy by binary search, and combines
+   * candidate-adjacent grams in an unboxed per-partition map that
+   * materializes each surviving gram's string once per partition. The only
+   * exchange in the plan is the final (candidate-bounded) string-keyed
+   * aggregate — no per-gram lambda interpretation, no corpus-scale string
+   * explode, no joins. A 64-bit prefix/suffix hash collision could mark a
+   * non-adjacent gram as adjacent (probability ~|candidates|·|distinct
+   * grams|/2⁶⁴ — negligible, the Miner's documented trade); counts are exact
+   * because the output aggregate keys on the gram STRING.
+   * The result should be materialized ONCE by consumers reading both sides
+   * (filterCandidates localCheckpoints it); the function itself returns the
+   * raw lazy plan so its shape stays assertable (EntropySpec).
    *
    * Fallback (huge candidate table): global aggregate floored at
    * cfg.fallbackExtensionMinCount, then shuffle-joined against candidates.
@@ -78,37 +148,103 @@ object Entropy {
    */
   def boundedExtensions(docs: DataFrame, tokensCol: String, candidates: DataFrame,
       minN: Int, maxN: Int, cfg: EntropyConfig = EntropyConfig()): DataFrame = {
-    // distinct + localCheckpoint: a duplicate candidate ngram would MULTIPLY
-    // adjacent grams through the restriction joins (silently doubling their
-    // counts), and without materialization the candidate lineage (typically a
-    // full mine) would re-execute for the count gate and BOTH broadcast
-    // builds — three extra upstream runs. The table is candidate-scale
-    // (thresholded), so the eager checkpoint is cheap.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distinct + localCheckpoint: duplicate candidate rows must not inflate
+    // counts, and without materialization the candidate lineage (typically a
+    // full mine) would re-execute for the hash collect / fallback joins. The
+    // table is candidate-scale (thresholded), so the eager checkpoint is
+    // cheap.
     val candKeys = candidates.select(col("ngram").as("__cand")).distinct()
       .localCheckpoint()
-    val grams = docs
-      .select(explode(Miner.ngramsCol(col(tokensCol), minN + 1, maxN + 1)).as("g"))
-      .select(col("g"), split(col("g"), " ").as("tk"))
-      .select(col("g"),
-        array_join(slice(col("tk"), lit(1), size(col("tk")) - 1), " ").as("prefix"),
-        array_join(slice(col("tk"), lit(2), size(col("tk")) - 1), " ").as("suffix"))
-    // candidates are the ALREADY-THRESHOLDED mined phrase table; the count
-    // gates the broadcast like Miner's survivor guard (cheap: counts the
-    // checkpointed blocks, not the candidate lineage)
-    val nCand = candKeys.count()
-    if (nCand <= cfg.broadcastCandidateLimit) {
-      grams
-        .join(broadcast(candKeys.select(col("__cand").as("prefix"), lit(1).as("__p"))),
-          Seq("prefix"), "left")
-        .join(broadcast(candKeys.select(col("__cand").as("suffix"), lit(1).as("__s"))),
-          Seq("suffix"), "left")
-        .filter(col("__p").isNotNull || col("__s").isNotNull)
-        .groupBy("g")
-        .agg(count(lit(1)).as("count"),
-          max(coalesce(col("__p"), lit(0))).as("p"),
-          max(coalesce(col("__s"), lit(0))).as("s"))
-        .withColumnRenamed("g", "ngram")
+    // candidate hashes, computed executor-side and collected as longs — the
+    // collect IS the broadcast-size gate (limit + 1 rows, like Miner's
+    // survivor guard): 8 bytes per candidate, 40 MB at the 5M default limit.
+    val guard = math.min(cfg.broadcastCandidateLimit, Int.MaxValue - 2L).toInt
+    val candHashes = candKeys.as[String].map(gramHash)
+      .limit(guard + 1).collect()
+    if (candHashes.length <= guard) {
+      java.util.Arrays.sort(candHashes)
+      val bc = spark.sparkContext.broadcast(candHashes)
+      val W = maxN - minN + 2 // window-hash lengths stored: minN .. maxN+1
+      docs.select(col(tokensCol)).as[Seq[String]]
+        .mapPartitions { it =>
+          val cand = bc.value
+          val comb = new ExtCombiner(1 << 12)
+          var lower = new Array[String](256)
+          var th = new Array[Long](256)
+          var wh = new Array[Long](256 * W)
+          it.foreach { toks =>
+            val L = toks.length
+            if (L >= minN + 1) {
+              if (lower.length < L) {
+                lower = new Array[String](L); th = new Array[Long](L)
+                wh = new Array[Long](L * W)
+              }
+              var i = 0
+              toks.foreach { t =>
+                lower(i) = t.toLowerCase(java.util.Locale.ROOT)
+                th(i) = Miner.Hash64.str(lower(i))
+                i += 1
+              }
+              // pass A: all window hashes for lengths [minN, maxN+1], one
+              // shared prefix-combine chain per start (the Miner's trick)
+              var s = 0
+              while (s + minN <= L) {
+                var p = 0x5851f42d4c957f2dL
+                val jEnd = math.min(s + maxN + 1, L)
+                var j = s
+                while (j < jEnd) {
+                  p = Miner.Hash64.combine(p, th(j))
+                  j += 1
+                  val len = j - s
+                  if (len >= minN) wh(s * W + (len - minN)) = Miner.Hash64.window(p, len)
+                }
+                s += 1
+              }
+              // pass B: each (minN+1..maxN+1)-gram is candidate-adjacent iff
+              // its length-(len-1) prefix [s, len-1] or suffix [s+1, len-1]
+              // hash is in the sorted candidate array
+              s = 0
+              while (s + minN + 1 <= L) {
+                val lEnd = math.min(maxN + 1, L - s)
+                var len = minN + 1
+                while (len <= lEnd) {
+                  val pf = java.util.Arrays.binarySearch(cand,
+                    wh(s * W + (len - 1 - minN))) >= 0
+                  val sf = java.util.Arrays.binarySearch(cand,
+                    wh((s + 1) * W + (len - 1 - minN))) >= 0
+                  if (pf || sf) {
+                    val e = s + len
+                    comb.add(wh(s * W + (len - minN)), pf, sf) {
+                      val sb = new java.lang.StringBuilder
+                      var q = s
+                      while (q < e) {
+                        if (q > s) sb.append(' ')
+                        sb.append(lower(q)); q += 1
+                      }
+                      sb.toString
+                    }
+                  }
+                  len += 1
+                }
+                s += 1
+              }
+            }
+          }
+          comb.iterator
+        }
+        .toDF("ngram", "partial", "p0", "s0")
+        .groupBy("ngram")
+        .agg(sum(col("partial")).as("count"),
+          max(col("p0")).as("p"), max(col("s0")).as("s"))
     } else {
+      val grams = docs
+        .select(explode(Miner.ngramsCol(col(tokensCol), minN + 1, maxN + 1)).as("g"))
+        .select(col("g"), split(col("g"), " ").as("tk"))
+        .select(col("g"),
+          array_join(slice(col("tk"), lit(1), size(col("tk")) - 1), " ").as("prefix"),
+          array_join(slice(col("tk"), lit(2), size(col("tk")) - 1), " ").as("suffix"))
       grams
         .groupBy("g", "prefix", "suffix").agg(count(lit(1)).as("count"))
         .filter(col("count") >= cfg.fallbackExtensionMinCount)
@@ -182,8 +318,12 @@ object Entropy {
    * candidate-bounded extension mine (see boundedExtensions). */
   def filterCandidates(docs: DataFrame, tokensCol: String, candidates: DataFrame,
       minN: Int, maxN: Int, cfg: EntropyConfig = EntropyConfig()): DataFrame = {
+    // localCheckpoint: score() reads the unigram table TWICE (the totals
+    // scalar aggregate and the PMI join), and without materialization each
+    // action re-runs the mine's pass-2 string re-materialization scan over
+    // the whole corpus — same ContextCleaner-freed trade as `bounded` below
     val unigrams = Miner.mine(docs, tokensCol, Miner.MineConfig(1, 1, 1, ordered = false))
-      .select("ngram", "count")
+      .select("ngram", "count").localCheckpoint()
     // One corpus scan for both entropy sides. localCheckpoint over persist()
     // is a deliberate trade: blocks are freed by the ContextCleaner on GC
     // (persist() entries are pinned by the CacheManager for the session —

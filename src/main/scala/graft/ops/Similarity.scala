@@ -335,15 +335,45 @@ object Similarity {
     val trainBase = valid.filter(size(col("vec")) === dims)
 
     // Lloyd refinement: assign to nearest centroid (broadcast), mean per cell.
-    // element-wise mean via posexplode + groupBy (cell, pos) — one shuffle.
+    // Round-6: the per-cell element-wise sums are pre-reduced INSIDE each
+    // task over primitive double arrays (the same mapPartitions style as the
+    // assign kernel) — each task emits at most nCells rows of
+    // (cell, n, sums ARRAY<DOUBLE>), so the downstream posexplode + two tiny
+    // exchanges operate on nCells × partitions rows instead of corpus × dims
+    // rows. The round-5 formulation posexploded the CORPUS (a Generate row
+    // per vector element — 6.4×10¹⁰ generated rows at 10⁹ 64-dim vectors)
+    // into the partial aggregate; the partial-agg shuffle was already small,
+    // but the per-element Generate+hash-probe work scaled with corpus × dims
+    // (guide §1.2 step 2: make the per-task work primitive once the shape is
+    // right). Mean = Σ partial sums / Σ counts — same values summed, float
+    // association differs only at partial boundaries exactly as any partial
+    // aggregation's would.
     for (_ <- 1 to cfg.lloydIter) {
       val assigned = assign(trainBase, centroids)
+      val vecIdx = assigned.schema.fieldIndex("vec")
+      val cellIdx = assigned.schema.fieldIndex("cell")
+      val partials = assigned.mapPartitions { rows =>
+        val sums = scala.collection.mutable.LongMap.empty[(Array[Double], Array[Long])]
+        rows.foreach { r =>
+          val cell = r.getInt(cellIdx)
+          val v = r.getSeq[Double](vecIdx)
+          val (s, n) = sums.getOrElseUpdate(cell.toLong,
+            (new Array[Double](dims), new Array[Long](1)))
+          var i = 0
+          val it = v.iterator
+          while (it.hasNext) { s(i) += it.next(); i += 1 }
+          n(0) += 1L
+        }
+        sums.iterator.map { case (cell, (s, n)) => (cell.toInt, n(0), s.toSeq) }
+      }(org.apache.spark.sql.Encoders.product[(Int, Long, Seq[Double])])
+        .toDF("cell", "n", "sums")
       // localCheckpoint per iteration: the centroid table is tiny, and without
       // it the loop's lineage compounds — every later iteration (and the final
       // assign) would re-execute all previous Lloyd rounds from scratch
-      centroids = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      centroids = partials
+        .select(col("cell"), col("n"), posexplode(col("sums")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x")) / sum(col("n"))).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))

@@ -60,14 +60,15 @@ class EntropySpec extends SparkSuite {
     // adjacent to "a b": right-extensions "a b c"(2) "a b x"(1); left-extension "z a b"(1)
     assert(rows == Set(("a b c", 2L, 1, 0), ("a b x", 1L, 1, 0), ("z a b", 1L, 0, 1)),
       rows.toString)
-    // the restriction happens BELOW the aggregate: the filter on the broadcast
-    // marks feeds the count, rather than a post-aggregation filter over the
-    // full distinct-gram table
+    // round-6 hash-first shape: the candidate restriction happens INSIDE the
+    // per-partition combiner (below any exchange), so the plan's ONLY
+    // exchange is the candidate-bounded final aggregate — no corpus-scale
+    // gram explode (Generate) and no join survives in the broadcast path
     val plan = only.queryExecution.executedPlan.toString
-    val aggIdx = plan.indexOf("count(1)")
-    val joinIdx = plan.indexOf("BroadcastHashJoin")
-    assert(aggIdx >= 0 && joinIdx > aggIdx,
-      s"expected broadcast restriction joins BELOW the gram aggregate:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one (candidate-bounded aggregate) exchange:\n$plan")
+    assert(!plan.contains("Generate") && !plan.contains("Join"),
+      s"expected no gram explode and no join in the broadcast path:\n$plan")
   }
 
   test("duplicate candidate rows do not inflate extension counts") {
