@@ -87,11 +87,16 @@ object Entropy {
         strs(i) = mk
         flags(i) = ((if (p) 1 else 0) | (if (s) 2 else 0)).toByte
         n += 1
-        if (n * 10 > cap * 7) { counts(i) = 1; grow(); return }
+        if (n.toLong * 10 > cap.toLong * 7) { counts(i) = 1; grow(); return }
       }
       counts(i) += 1
     }
     private def grow(): Unit = {
+      // same loud capacity limit as Miner.LongCountMap (round-5 advice):
+      // a further doubling past 2^30 would overflow Int array sizing
+      if (cap >= (1 << 30)) throw new IllegalStateException(
+        s"ExtCombiner: one partition holds > $n distinct candidate-adjacent grams " +
+          "(combiner capacity 2^30 slots) — repartition the corpus finer")
       val (ok, oc, of, os) = (keys, counts, flags, strs)
       cap <<= 1; mask = cap - 1
       keys = new Array[Long](cap); counts = new Array[Long](cap)

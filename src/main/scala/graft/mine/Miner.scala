@@ -99,7 +99,14 @@ object Miner {
    * traffic IS the cost, and halving lines-per-add is the difference that
    * shows up hardest at high thread counts where the pipeline is
    * memory-system-bound (the scaling bench's thr8 side). Slot i lives at
-   * arr(2i)=key, arr(2i+1)=count; count == 0 ⇔ empty. */
+   * arr(2i)=key, arr(2i+1)=count; count == 0 ⇔ empty.
+   *
+   * Capacity limit (round-5 advice): the interleaved layout caps one
+   * partition's combiner at 2²⁹ slots ≈ 375M distinct keys at the 0.7 load
+   * factor (the backing array is `cap << 1` longs, and a further doubling
+   * would overflow Int array sizing). Growth past the cap fails LOUDLY with
+   * a repartition hint instead of a negative-size allocation; the load-check
+   * arithmetic is done in Long so the threshold itself cannot overflow. */
   private final class LongCountMap(initialCapacity: Int) {
     private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
     private var mask = cap - 1
@@ -111,11 +118,14 @@ object Miner {
       while (arr(o + 1) != 0 && arr(o) != k) { i = (i + 1) & mask; o = i << 1 }
       if (arr(o + 1) == 0) {
         arr(o) = k; n += 1
-        if (n * 10 > cap * 7) { arr(o + 1) = 1; grow(); return }
+        if (n.toLong * 10 > cap.toLong * 7) { arr(o + 1) = 1; grow(); return }
       }
       arr(o + 1) += 1
     }
     private def grow(): Unit = {
+      if (cap >= (1 << 29)) throw new IllegalStateException(
+        s"LongCountMap: one partition holds > $n distinct gram hashes (combiner " +
+          "capacity 2^29 slots) — repartition the corpus into more/smaller partitions")
       val old = arr
       cap <<= 1; mask = cap - 1; n = 0
       arr = new Array[Long](cap << 1)

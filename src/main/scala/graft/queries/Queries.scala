@@ -749,16 +749,24 @@ FROM bits GROUP BY doc_id ORDER BY doc_id""")),
     ("lsh_minhash_sig",
       (s: SparkSession, dir: String) => {
         graft.plans.GraftFunctions.register(s)
+        // Round-6: the 4 per-seed minima are FOUR aggregate columns over the
+        // gram stream, unpivoted with stack() AFTER the aggregate — the
+        // former explode(sequence(0,3)) generated 4× the gram rows just to
+        // carry the seed as a grouping key, quadrupling the rows through the
+        // partial aggregate (guide §2.3 "aggregate before you shuffle"; the
+        // md5 count per gram is unchanged, only the row traffic drops). Same
+        // minima over the same md5 set ⇒ identical output rows.
+        val mins = (0 to 3).map(i =>
+          min(md5(concat(lit(s"$i|"), col("ngram")))).as(s"mh$i"))
         toks(s, dir)
           // native Catalyst generator (one interpreted call per DOC) instead
           // of the higher-order-function ngramsCol (interpreted per GRAM) —
           // the same swap the round-5 verdict measured 3-5× on the mine
           .select(col("doc_id"), expr("ngrams(t, 2, 2)"))
-          .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("seed"),
-            col("ngram").as("g"))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("g")))).as("mh"))
-          .select(col("doc_id"), col("seed").cast("long").as("seed"), col("mh"))
+          .groupBy("doc_id")
+          .agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"),
+            expr("stack(4, 0L, mh0, 1L, mh1, 2L, mh2, 3L, mh3) AS (seed, mh)"))
           .orderBy("doc_id", "seed")
       },
       Some(s"""WITH ${gramsSql("sh", "", Seq(2))},
@@ -1545,15 +1553,22 @@ pr$i AS (SELECT d.id, d.d,
     (base +: steps).mkString(",\n")
   }
 
-  /** (jaccard pairs DF with columns a, b, jaccard; distinct-bigram table). */
-  private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val g2 = cached(s"g2|$dir") {
-      graft.plans.GraftFunctions.register(s)
-      // native generator over the HOF ngramsCol — see lsh_minhash_sig
-      toks(s, dir).select(col("doc_id"), expr("ngrams(t, 2, 2)"))
-        .select(col("doc_id"), col("ngram").as("g"))
-        .distinct()
-    }
+  /** Distinct (doc_id, bigram) postings via the native ngrams generator —
+   * the shared base of the jaccard chain (uncached; jaccardPairs caches it). */
+  private def bigramTable(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    // native generator over the HOF ngramsCol — see lsh_minhash_sig
+    toks(s, dir).select(col("doc_id"), expr("ngrams(t, 2, 2)"))
+      .select(col("doc_id"), col("ngram").as("g"))
+      .distinct()
+  }
+
+  /** The rare-shingle-blocked jaccard pair chain over a bigram posting table:
+   * (a, b, jaccard) for every candidate pair. Kept as a standalone builder so
+   * PlanSpec can assert its shape on an UNCACHED instance — the production
+   * entry below caches the result, which collapses the chain into an
+   * InMemoryRelation leaf that a logical-plan collect cannot traverse. */
+  private[graft] def jaccardChain(g2: DataFrame): DataFrame = {
     val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = g2.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 5).select("g")
@@ -1563,26 +1578,35 @@ pr$i AS (SELECT d.id, d.d,
     // ("of the" in millions of docs) whereas rare-first bounds every shingle's
     // contribution to ≤ C(df_max, 2) pairs. Asserted in PlanSpec.
     val g2rare = g2.join(rare, Seq("g"))
+    val cand = g2rare.select(col("doc_id").as("a"), col("g"))
+      .join(g2rare.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(g2.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(g2.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
+  }
+
+  /** Uncached jaccard chain over an uncached bigram table — the exact plan
+   * shape jaccardPairs caches, exposed for PlanSpec's shape assertions. */
+  private[graft] def jaccardChainUncached(s: SparkSession, dir: String): DataFrame =
+    jaccardChain(bigramTable(s, dir))
+
+  /** (jaccard pairs DF with columns a, b, jaccard; distinct-bigram table). */
+  private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val g2 = cached(s"g2|$dir")(bigramTable(s, dir))
     // the full pair table is cached like the other shared builders (domain/
     // scored/mentions/graphEdges): dd_jaccard_pairs and cc_components consume
     // the SAME chain at different thresholds (0.05 / 0.03), and without the
     // cache each query re-runs the candidate self-join + both intersection
     // joins per pass — the round-6 measured majority of both queries' wall
-    val jac = cached(s"jac|$dir") {
-      val cand = g2rare.select(col("doc_id").as("a"), col("g"))
-        .join(g2rare.select(col("doc_id").as("b"), col("g")), Seq("g"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      val inter = cand
-        .join(g2.select(col("doc_id").as("a"), col("g")), Seq("a"))
-        .join(g2.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
-        .withColumn("jaccard",
-          col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
-    }
+    val jac = cached(s"jac|$dir")(jaccardChain(g2))
     (jac, g2)
   }
 

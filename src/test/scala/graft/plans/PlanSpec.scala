@@ -58,7 +58,11 @@ class PlanSpec extends SparkSuite {
 
   test("jaccard candidate self-join has the rare-shingle filter below BOTH sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
-    val df = graft.queries.Queries.queries("dd_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+    // assert on the UNCACHED chain: the production dd_jaccard_pairs entry
+    // caches this exact plan (shared with cc_components), and the persist
+    // collapses it into an InMemoryRelation leaf a logical collect cannot
+    // traverse — jaccardChainUncached is the same builder, pre-cache
+    val df = graft.queries.Queries.jaccardChainUncached(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.optimizedPlan
     def hasRareFilter(p: LogicalPlan): Boolean = p.collectFirst {
       case f: Filter if f.condition.toString.contains(">= 2") &&
