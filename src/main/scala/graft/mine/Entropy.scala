@@ -325,10 +325,22 @@ object Entropy {
       minN: Int, maxN: Int, cfg: EntropyConfig = EntropyConfig()): DataFrame = {
     // localCheckpoint: score() reads the unigram table TWICE (the totals
     // scalar aggregate and the PMI join), and without materialization each
-    // action re-runs the mine's pass-2 string re-materialization scan over
-    // the whole corpus — same ContextCleaner-freed trade as `bounded` below
-    val unigrams = Miner.mine(docs, tokensCol, Miner.MineConfig(1, 1, 1, ordered = false))
-      .select("ngram", "count").localCheckpoint()
+    // action re-runs the counting scan over the whole corpus — same
+    // ContextCleaner-freed trade as `bounded` below.
+    // Direct explode+groupBy rather than Miner.mine(1,1,1): the hash-first
+    // two-pass mine exists to keep partial-agg state off strings UNTIL a
+    // support threshold has filtered the keyspace — at min_count 1 nothing
+    // filters, pass 2 re-materializes every token, and the kernel degenerates
+    // to TWO corpus scans where a single native explode + vocab-scale string
+    // aggregate does the same exact counts in ONE (guide §1.2: the cheapest
+    // plan is workload-dependent; measured −0.4 s on en_entropy warm).
+    // lower() = UTF8String.toLowerCase, the same case mapping the tokenizer
+    // applies, so counts are identical to the mine's (which lowercases too).
+    val unigrams = docs
+      .select(explode(col(tokensCol)).as("tok"))
+      .select(lower(col("tok")).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("count"))
+      .localCheckpoint()
     // One corpus scan for both entropy sides. localCheckpoint over persist()
     // is a deliberate trade: blocks are freed by the ContextCleaner on GC
     // (persist() entries are pinned by the CacheManager for the session —
