@@ -200,9 +200,11 @@ object Incremental {
       model: graft.artifact.TagModel, cfg: KgPipeline.KgConfig): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val tagged = Tagger.tag(spark, docs.select(col("docId"), col("tokens")).as[Doc],
+    // warc_ts carried through the closure — same round-6 swap as KgPipeline
+    // (no join-back exchange, no token echo in the tag output)
+    val tagged = Tagger.tagSpansTs(spark,
+      docs.select(col("docId"), col("warc_ts"), col("tokens")).as[graft.model.DocTs],
       bc, cfg.tag).toDF()
-      .join(docs.select(col("docId"), col("warc_ts")), "docId")
     tagged
       .select(col("docId").as("url"), col("warc_ts"), explode(col("spans")).as("s"))
       .select(col("url"), col("warc_ts"),

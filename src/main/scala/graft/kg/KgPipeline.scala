@@ -135,9 +135,13 @@ object KgPipeline {
       e
     }
 
-    val docDs = docs.select(col("docId"), col("tokens")).as[Doc]
-    val tagged = Tagger.tag(spark, docDs, bc, cfg.tag).toDF()
-      .join(docs.select(col("docId"), col("warc_ts")), "docId")
+    // warc_ts rides THROUGH the tag closure (round-6): the former
+    // tag → join(docs, "docId") re-attached provenance with a corpus-scale
+    // exchange pair, and the TaggedDoc token echo re-serialized every token
+    // string into rows the very next Project dropped — tagSpansTs removes
+    // both (guide §2.4 / §2.3)
+    val docDs = docs.select(col("docId"), col("warc_ts"), col("tokens")).as[graft.model.DocTs]
+    val tagged = Tagger.tagSpansTs(spark, docDs, bc, cfg.tag).toDF()
 
     // persisted: the mention+co-occurrence union downstream would otherwise
     // re-run the whole tag scan per branch (production would write this layer)

@@ -51,6 +51,22 @@ final case class RawMatch(start: Int, end: Int, patternId: Int)
 /** Tagged document: input doc + resolved spans. */
 final case class TaggedDoc(docId: String, tokens: Seq[String], spans: Seq[Span])
 
+/** Tag-stage output WITHOUT the token echo — the shape every pipeline
+ * consumer actually reads (they all explode `spans` and drop `tokens`).
+ * For an opaque mapPartitions Catalyst cannot prune the unused field out of
+ * the closure's output: emitting TaggedDoc re-serializes every token string
+ * into the output row just for the downstream Project to discard — a full
+ * second pass of the corpus' token bytes through the serializer (round-6;
+ * see Tagger.tagSpans). */
+final case class TaggedSpans(docId: String, spans: Seq[Span])
+
+/** A tokenized doc with its crawl timestamp, for tag passes that carry
+ * provenance THROUGH the tag closure instead of re-joining it afterwards. */
+final case class DocTs(docId: String, warc_ts: java.sql.Timestamp, tokens: Seq[String])
+
+/** [[TaggedSpans]] with the carried crawl timestamp. */
+final case class TaggedSpansTs(docId: String, warc_ts: java.sql.Timestamp, spans: Seq[Span])
+
 /** Common-Crawl-style web page row (BASELINE.json input_hint). */
 final case class WebPage(
     url: String,

@@ -100,7 +100,7 @@ object Queries {
     val bc = s.sparkContext.broadcast(model)
     val ds = toks(s, dir, Some(true))
       .select(col("doc_id").cast("string").as("docId"), col("t").as("tokens")).as[Doc]
-    val tagged = Tagger.tag(s, ds, bc,
+    val tagged = Tagger.tagSpans(s, ds, bc,
       Tagger.TagConfig(policy, maxSpans = 1 << 30, strictPolicy = policy == "salience_max"))
     tagged.toDF()
       .select(col("docId").cast("long").as("doc_id"), explode(col("spans")).as("sp"))

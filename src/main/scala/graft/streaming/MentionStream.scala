@@ -73,7 +73,7 @@ object MentionStream {
         "the wiped-checkpoint/grown-input guard (wipe one, not the other, and " +
         "the ledger protects a checkpoint that no longer exists)")
     val lake = table.getOrElse(new LakeTable(spark, lakeRoot))
-    val mentions = Tagger.tag(spark, docs, bc, cfg).toDF()
+    val mentions = Tagger.tagSpans(spark, docs, bc, cfg).toDF()
       .select(col("docId").as("url"), explode(col("spans")).as("s"))
       .select(col("url"),
         col("s.start").as("start"), col("s.end").as("end"),

@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.artifact.TagModel
 import graft.matching.{Policies, Policy}
-import graft.model.{Doc, RawMatch, Span, TaggedDoc}
+import graft.model.{Doc, DocTs, RawMatch, Span, TaggedDoc, TaggedSpans, TaggedSpansTs}
 
 /**
  * Corpus auto-labeling (SURVEY.md §3.3, the flagship) — Spark re-expression of
@@ -52,6 +52,48 @@ object Tagger {
     docs.mapPartitions { it =>
       val m = model.value
       it.map(tagDoc(m, policy, maxSpans, label))
+    }
+  }
+
+  /** As [[tag]] but emitting ONLY (docId, spans) — no token echo. Every
+   * pipeline consumer (KgPipeline, MentionStream, Incremental, the driver
+   * queries) explodes `spans` and drops `tokens`, but an opaque mapPartitions
+   * defeats column pruning (guide §2.3): emitting TaggedDoc re-serializes the
+   * corpus' token bytes into output rows a Project immediately discards.
+   * Span semantics identical to [[tag]] (same tagDoc kernel). */
+  def tagSpans(spark: SparkSession, docs: Dataset[Doc], model: Broadcast[TagModel],
+      cfg: TagConfig = TagConfig()): Dataset[TaggedSpans] = {
+    import spark.implicits._
+    val policy =
+      if (cfg.strictPolicy) Policy.fromString(cfg.policy) else Policy.fromStringTag(cfg.policy)
+    val maxSpans = cfg.maxSpans
+    val label = cfg.label
+    docs.mapPartitions { it =>
+      val m = model.value
+      it.map { d =>
+        val t = tagDoc(m, policy, maxSpans, label)(d)
+        TaggedSpans(t.docId, t.spans)
+      }
+    }
+  }
+
+  /** As [[tagSpans]] with the doc's crawl timestamp carried THROUGH the
+   * closure — replaces the KG pipeline's corpus-scale join-back of
+   * provenance (mentions ⋈ docs exchange pair on docId) with a pass-through
+   * field (guide §2.4: remove shuffles outright). */
+  def tagSpansTs(spark: SparkSession, docs: Dataset[DocTs], model: Broadcast[TagModel],
+      cfg: TagConfig = TagConfig()): Dataset[TaggedSpansTs] = {
+    import spark.implicits._
+    val policy =
+      if (cfg.strictPolicy) Policy.fromString(cfg.policy) else Policy.fromStringTag(cfg.policy)
+    val maxSpans = cfg.maxSpans
+    val label = cfg.label
+    docs.mapPartitions { it =>
+      val m = model.value
+      it.map { d =>
+        val t = tagDoc(m, policy, maxSpans, label)(Doc(d.docId, d.tokens))
+        TaggedSpansTs(t.docId, d.warc_ts, t.spans)
+      }
     }
   }
 

@@ -56,6 +56,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("MapPartitions"), p)
   }
 
+  test("pipeline mention layer: provenance rides the tag closure, no join-back") {
+    // round-6: warc_ts passes THROUGH tagSpansTs instead of re-joining docs
+    // after the tag scan — the mention lineage must contain no Join and no
+    // token echo in the tag output (analyzed plan: pre-cache-substitution)
+    val pages = spark.read.parquet(corpusDir).as[graft.model.WebPage]
+    val plan = graft.kg.KgPipeline.build(spark, pages)
+    try {
+      val p = plan.mentions.queryExecution.analyzed.toString
+      assert(!p.contains("Join"), p)
+      assert(p.contains("warc_ts"), p)
+      val serialized = "SerializeFromObject .*".r.findFirstIn(p).getOrElse("")
+      assert(!serialized.contains("tokens"), serialized)
+    } finally {
+      plan.phrases.unpersist(); plan.mentions.unpersist()
+      plan.entities.unpersist(); plan.docs.unpersist()
+    }
+  }
+
   test("jaccard candidate self-join has the rare-shingle filter below BOTH sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
     // assert on the UNCACHED chain: the production dd_jaccard_pairs entry
